@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""End-to-end decode benchmark (driver-run on real TPU hardware).
+
+Measures NTSC RF decode throughput — batched FM demod + full TBC to .tbc
+picture + analog audio — in megasamples of RF input per second, against the
+real-time capture rate baseline (40 MSa/s, BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": "MSa/s", "vs_baseline": ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    from ld_decode_tpu.ops import filters as F
+    from ld_decode_tpu.io import loaders as L
+    from ld_decode_tpu.tbc import framer as FR
+
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    print(f'# backend: {jax.default_backend()}', file=sys.stderr)
+
+    samples = E.encode_frames(cfg, 3, E.EncodeSpec(pattern='ramp',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, dtype=np.complex64)
+    loader = L.make_array_loader(samples)
+
+    samples_per_frame = cfg.freq_hz / cfg.sys.fps
+    start = 33046
+
+    # warmup: compiles every kernel variant (262/263-line fields)
+    fr = FR.Framer(cfg, bank, loader)
+    t0 = time.time()
+    rv = fr.readframe(None, start, True)
+    assert rv[0] is not None, 'warmup frame failed'
+    print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
+
+    # timed: decode the 2nd frame repeatedly (cycles field phase + reuses
+    # compiled kernels); each readframe consumes ~1 frame of RF samples.
+    reps = 8
+    nframes = 0
+    t0 = time.time()
+    for _ in range(reps):
+        fr2 = FR.Framer(cfg, bank, loader)
+        fr2.mtf_level = fr.mtf_level
+        rv = fr2.readframe(None, start, True)
+        assert rv[0] is not None
+        nframes += 1
+    dt = time.time() - t0
+
+    msa_s = nframes * samples_per_frame / dt / 1e6
+    baseline = 40.0
+    print(f'# {nframes} frames in {dt:.2f}s', file=sys.stderr)
+    print(json.dumps({
+        'metric': 'ntsc_demod_tbc_throughput',
+        'value': round(msa_s, 2),
+        'unit': 'MSa/s',
+        'vs_baseline': round(msa_s / baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

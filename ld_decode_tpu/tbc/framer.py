@@ -1,0 +1,189 @@
+"""Frame assembly: field pairing, interlace weave, resync policy, MTF
+feedback, and frame-accurate seek.
+
+Mirrors the reference `Framer`/`findframe` orchestration
+(reference lddecode_core.py:1193-1378) around the device field pipeline.
+All logic here is host-side control flow over per-field results; the
+compute stays in FieldDecoder's jitted kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from ld_decode_tpu.ops import demod as D
+from ld_decode_tpu.ops.filters import DemodBank
+from ld_decode_tpu.tbc.field import FieldDecoder, FieldResult
+from ld_decode_tpu.utils.params import DecoderConfig
+
+
+class Framer:
+    def __init__(self, cfg: DecoderConfig, bank: DemodBank,
+                 loader: Callable, full_decode: bool = True,
+                 nblocks: int = 66):
+        self.cfg = cfg
+        self.bank = bank
+        self.loader = loader
+        self.full_decode = full_decode
+        self.decoder = FieldDecoder(cfg, bank, nblocks)
+        self.nblocks = nblocks
+
+        self.outwidth = cfg.sys.outlinelen
+        self.outlines = cfg.sys.frame_lines
+        self.clvfps = 25 if cfg.system == 'PAL' else 30
+        self.audio_offset = 0.0
+        self.mtf_level = 1.0
+        self.vbi = {'framenr': None, 'isclv': False, 'minutes': None}
+
+    # ------------------------------------------------------------------
+
+    def _load(self, infile, readsample: int) -> Optional[np.ndarray]:
+        """Fetch the demod window so output index 0 == file sample
+        `readsample` (reference head-cut alignment, lddecode_core.py:376-379).
+        """
+        start = readsample - self.cfg.blockcut
+        n = D.stream_len(self.cfg, self.nblocks)
+        if start < 0:
+            data = self.loader(infile, 0, n + start)
+            if data is None:
+                return None
+            return np.concatenate([np.zeros(-start, data.dtype), data])
+        return self.loader(infile, start, n)
+
+    def readfield(self, infile, sample: int):
+        """(reference lddecode_core.py:1194-1223)."""
+        cfg = self.cfg
+        readsample = int(sample)
+        while True:
+            stream = self._load(infile, readsample)
+            if stream is None:
+                return None, None, None
+            f = self.decoder.process(stream, self.mtf_level,
+                                     self.audio_offset, self.full_decode)
+            nextsample = readsample + f.nextfieldoffset
+            if not f.valid:
+                if f.peak_count < 100:
+                    # no recognizable data: jump 10s past possible spin-up
+                    nextsample = readsample + int(cfg.freq_hz * 10)
+                elif f.vsync_count == 0:
+                    nextsample = readsample + int(cfg.freq_hz * 1)
+                readsample = nextsample
+            else:
+                return f, readsample, nextsample
+
+    def mergevbi(self, fields) -> dict:
+        """(reference lddecode_core.py:1225-1236)."""
+        merged = dict(fields[0].vbi)
+        for k, v in fields[1].vbi.items():
+            if v is not None:
+                merged[k] = v
+        if merged.get('seconds') is not None:
+            merged['framenr'] = (merged['minutes'] * 60 * self.clvfps
+                                 + merged['seconds'] * self.clvfps
+                                 + merged['clvframe'])
+        return merged
+
+    def formatoutput(self, fields) -> np.ndarray:
+        """Interlace weave incl. the visible half-line
+        (reference lddecode_core.py:1238-1252)."""
+        W = self.outwidth
+        linecount = min(fields[0].linecount, fields[1].linecount) * 2
+        combined = np.zeros(W * self.outlines, dtype=np.uint16)
+        for i in range(0, linecount, 2):
+            cur = i // 2
+            combined[i * W:(i + 1) * W] = \
+                fields[0].dspicture[cur * W:cur * W + W]
+            combined[(i + 1) * W:(i + 2) * W] = \
+                fields[1].dspicture[cur * W:cur * W + W]
+        lf = int(np.argmax([fields[0].linecount, fields[1].linecount]))
+        cur = linecount // 2
+        if (cur + 1) * W <= len(fields[lf].dspicture):
+            combined[linecount * W:(linecount + 1) * W] = \
+                fields[lf].dspicture[cur * W:cur * W + W]
+        return combined
+
+    def readframe(self, infile, sample: int, firstframe: bool = False,
+                  CAV: bool = False):
+        """(reference lddecode_core.py:1254-1311)."""
+        cfg = self.cfg
+        fieldcount = 0
+        fields = [None, None]
+        audio = []
+        f = None
+
+        while fieldcount < 2:
+            f, readsample, nextsample = self.readfield(infile, sample)
+            if f is not None:
+                if f.istop:
+                    fields[0] = f
+                else:
+                    fields[1] = f
+                if ((not CAV and (f.istop == cfg.sys.topfirst))
+                        or (CAV and (f.vbi['framenr'] or f.vbi['minutes']))):
+                    fieldcount = 1
+                elif fieldcount == 1:
+                    fieldcount = 2
+                if (fieldcount or not firstframe) and f.dsaudio is not None:
+                    audio.append(f.dsaudio)
+            elif readsample is None:
+                return None, None, None, None
+            sample = nextsample
+
+        if audio:
+            conaudio = np.concatenate(audio)
+            self.audio_offset = f.audio_next_offset
+        else:
+            conaudio = None
+
+        combined = self.formatoutput(fields) if self.full_decode else None
+        self.vbi = self.mergevbi(fields)
+
+        # MTF compensation feedback: CAV frame number drives the RF
+        # equalizer level; a large change forces a re-decode
+        # (reference lddecode_core.py:1300-1309).
+        if not f.vbi['isclv'] and f.vbi['framenr'] is not None:
+            newmtf = max(1 - (f.vbi['framenr'] / 10000), 0)
+            oldmtf = self.mtf_level
+            self.mtf_level = newmtf
+            if abs(newmtf - oldmtf) > .1:
+                return self.readframe(infile, sample, firstframe, CAV)
+
+        return combined, conaudio, sample, fields
+
+
+def findframe(infile, framer: Framer, target: int,
+              nextsample: int = 0) -> Optional[int]:
+    """Frame-accurate seek by decode-probe + jump
+    (reference lddecode_core.py:1338-1378)."""
+    cfg = framer.cfg
+    samples_per_frame = int(cfg.freq_hz / cfg.sys.fps)
+    framer.vbi = {'framenr': None, 'isclv': False, 'minutes': None}
+
+    iscav = False
+    tolerance = 0
+    rv = None
+    retry = 5
+    while framer.vbi.get('framenr') is None and retry:
+        rv = framer.readframe(infile, nextsample, CAV=False)
+        if framer.vbi.get('isclv'):
+            tolerance = 1
+        else:
+            tolerance = 0
+            iscav = True
+        nextsample = (rv[2] if rv[2] is not None else nextsample) \
+            + int(cfg.freq_hz * 10)
+        retry -= 1
+
+    if framer.vbi.get('framenr') is None:
+        return None
+
+    retry = 5
+    while abs(target - framer.vbi['framenr']) > tolerance and retry:
+        offset = samples_per_frame * (target - 1 - framer.vbi['framenr'])
+        nextsample = rv[2] + offset
+        rv = framer.readframe(infile, nextsample, CAV=iscav)
+        retry -= 1
+
+    return nextsample

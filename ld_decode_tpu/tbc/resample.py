@@ -1,0 +1,68 @@
+"""Batched line resampling onto the 4*fsc output grid (device side).
+
+The reference resamples each scan line with a scipy cubic B-spline fit per
+line (reference lddecode_core.py:789-812 `downscale`, lddutils.py:83-97
+`scale`).  Here all lines of a field are resampled in one batched
+cubic-convolution (Catmull-Rom) gather — the same kernel the reference's C++
+TBC uses (`CubicInterpolate`, ld-decoder.h:218-225).  Catmull-Rom vs
+interpolating B-spline differs only in out-of-band ringing behavior; parity
+with the Python reference is held to a PSNR budget rather than sample
+exactness (BASELINE.md: 0.5 dB on filtered paths).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def catmull_rom_weights(t: jnp.ndarray):
+    """Keys cubic-convolution weights (a=-0.5) for the 4-tap neighborhood."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return w0, w1, w2, w3
+
+
+def sample_cubic(data: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Cubic interpolation of 1-D `data` at fractional positions `pos`
+    (any shape).  Positions are clamped to the valid interior."""
+    n = data.shape[0]
+    pos = jnp.clip(pos, 1.0, n - 3.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    t = (pos - i0).astype(data.dtype)
+    w0, w1, w2, w3 = catmull_rom_weights(t)
+    return (w0 * data[i0 - 1] + w1 * data[i0]
+            + w2 * data[i0 + 1] + w3 * data[i0 + 2])
+
+
+@functools.partial(jax.jit, static_argnames=('outwidth', 'nlines'))
+def downscale_lines(data: jnp.ndarray, lineinfo: jnp.ndarray,
+                    outwidth: int, nlines: int,
+                    wow_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Resample `nlines` scan lines onto `outwidth` samples each.
+
+    lineinfo: (nlines+1,) float sample locations of line starts; output
+    sample k of line l is data interpolated at
+    lineinfo[l] + k*(lineinfo[l+1]-lineinfo[l])/outwidth
+    (reference lddutils.py:93-96 evaluation grid).
+
+    wow_scale: optional (nlines,) per-line amplitude correction
+    (reference lddecode_core.py:803-805: (len/nominal) wow factor).
+    Returns (nlines, outwidth).
+    """
+    starts = lineinfo[:nlines]
+    ends = lineinfo[1:nlines + 1]
+    k = jnp.arange(outwidth, dtype=data.dtype)
+    pos = starts[:, None] + (ends - starts)[:, None] * (k[None, :] / outwidth)
+    out = sample_cubic(data, pos)
+    if wow_scale is not None:
+        out = out * wow_scale[:, None]
+    return out

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""CLI front-end: extract video and audio from raw RF LaserDisc captures.
+
+TPU-native equivalent of the reference driver (reference lddecode.py):
+same arguments, same output files (<out>.tbc 4fsc 16-bit fields,
+<out>.pcm 16-bit 48kHz stereo), plus loader selection by extension
+(reference lddecode.py:53-58).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description='Extract audio and video from raw RF laserdisc captures '
+                    '(TPU-native)')
+    p.add_argument('infile', type=str, help='source file')
+    p.add_argument('outfile', type=str, help='base name for destination files')
+    p.add_argument('-s', '--start', type=int, default=0,
+                   help='rough jump to frame n of capture (default 0)')
+    p.add_argument('-S', '--seek', type=int, default=-1,
+                   help='seek to frame n of capture')
+    p.add_argument('-E', '--end', type=int, default=-1,
+                   help='cutting: last frame')
+    p.add_argument('-l', '--length', type=int, default=None,
+                   help='limit length to n frames')
+    p.add_argument('-p', '--pal', action='store_true',
+                   help='source is in PAL format')
+    p.add_argument('-n', '--ntsc', action='store_true',
+                   help='source is in NTSC format')
+    p.add_argument('-c', '--cut', action='store_true',
+                   help='cut (to r16) instead of decode')
+    p.add_argument('--f64', action='store_true',
+                   help='run the filter bank at float64 (CPU only)')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.pal and args.ntsc:
+        print('ERROR: Can only be PAL or NTSC', file=sys.stderr)
+        return 1
+
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.ops import filters as F, demod as D
+    from ld_decode_tpu.io import loaders as L
+    from ld_decode_tpu.tbc import framer as FR
+
+    system = 'PAL' if args.pal else 'NTSC'
+    cfg = DecoderConfig(system=system, freq_mhz=40.0)
+    bank = F.make_demod_bank(
+        cfg, dtype=np.complex128 if args.f64 else np.complex64)
+    loader = L.loader_for_path(args.infile)
+
+    samples_per_frame = int(cfg.freq_hz / cfg.sys.fps) + 1
+    bytes_per_frame = samples_per_frame * 5 // 4
+
+    infile_size = os.path.getsize(args.infile)
+    if (infile_size // bytes_per_frame - args.start) < 2:
+        print('Error: start frame is past end of file', file=sys.stderr)
+        return 1
+    num_frames = args.length if args.length is not None \
+        else infile_size // bytes_per_frame - args.start
+
+    fd = open(args.infile, 'rb')
+    framer = FR.Framer(cfg, bank, loader)
+
+    if args.seek >= 0:
+        nextsample = FR.findframe(fd, framer, args.seek,
+                                  args.start * samples_per_frame)
+        if nextsample is None:
+            print('SEEK ERROR: unable to find a usable frame', file=sys.stderr)
+            return 1
+    else:
+        nextsample = args.start * samples_per_frame
+
+    if args.cut:
+        outfile = open(args.outfile + '.r16', 'wb')
+        lastsample = FR.findframe(fd, framer, args.end, nextsample)
+        lastsample += int(samples_per_frame * .25)
+        for i in range(int(nextsample), int(lastsample), 16384):
+            n = min(16384, int(lastsample) - i)
+            data = loader(fd, i, n)
+            if data is None:
+                break
+            outfile.write(np.asarray(data, dtype=np.int16).tobytes())
+        outfile.close()
+        return 0
+
+    out_video = open(args.outfile + '.tbc', 'wb')
+    out_audio = open(args.outfile + '.pcm', 'wb')
+
+    for f in range(num_frames):
+        if fd.tell() + bytes_per_frame * 1.05 > infile_size:
+            if args.length is not None:
+                print('Warning: end of file before requested frame count',
+                      file=sys.stderr)
+            break
+        combined, audio, nextsample, fields = framer.readframe(
+            fd, nextsample, f == 0)
+        if combined is None:
+            break
+        print(f'frame {framer.vbi.get("framenr")}', file=sys.stderr)
+        out_video.write(combined.tobytes())
+        if audio is not None:
+            out_audio.write(audio.tobytes())
+
+    out_video.close()
+    out_audio.close()
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -30,6 +30,20 @@ def _install_numpy_shims():
         def fromstring(buf, dtype, count=-1):
             return np.frombuffer(buf, dtype=dtype, count=count)
         np.fromstring = fromstring
+    # numpy>=2 NEP50: uint8 * 10000 overflows in the reference's philips
+    # nibble math (lddecode_core.py:856-868); widen packbits output — but
+    # ONLY for the reference's list-of-bools call pattern: jax itself uses
+    # np.packbits on bool ndarrays and must see the original behavior.
+    if not getattr(np.packbits, '_oracle_shim', False):
+        _orig_packbits = np.packbits
+
+        def packbits(a, *args, **k):
+            out = _orig_packbits(a, *args, **k)
+            if isinstance(a, list):
+                return out.astype(np.int64)
+            return out
+        packbits._oracle_shim = True
+        np.packbits = packbits
 
 
 def load_reference():
