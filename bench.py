@@ -28,31 +28,38 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    samples = E.encode_frames(cfg, 3, E.EncodeSpec(pattern='ramp',
-                                                   cav_start_frame=900))
+    nframes_cap = 6
+    samples = E.encode_frames(cfg, nframes_cap,
+                              E.EncodeSpec(pattern='ramp',
+                                           cav_start_frame=900))
     bank = F.make_demod_bank(cfg, dtype=np.complex64)
-    loader = L.make_array_loader(samples)
 
     samples_per_frame = cfg.freq_hz / cfg.sys.fps
     start = 33046
 
-    # warmup: compiles every kernel variant (262/263-line fields)
-    fr = FR.Framer(cfg, bank, loader)
+    # warmup: compiles every kernel variant (262/263-line fields);
+    # capture stays device-resident (fused two-round-trip path)
+    fr = FR.Framer(cfg, bank, capture=samples)
     t0 = time.time()
     rv = fr.readframe(None, start, True)
-    assert rv[0] is not None, 'warmup frame failed'
+    assert rv[0] is not None, 'warmup field failed'
+    rv = fr.readframe(None, rv[2], False)
+    assert rv[0] is not None
     print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
 
-    # timed: decode the 2nd frame repeatedly (cycles field phase + reuses
-    # compiled kernels); each readframe consumes ~1 frame of RF samples.
-    reps = 8
+    # timed: continuous decode across the capture, restarting at the top
+    reps = 16
     nframes = 0
     t0 = time.time()
+    sample = start
+    first = True
     for _ in range(reps):
-        fr2 = FR.Framer(cfg, bank, loader)
-        fr2.mtf_level = fr.mtf_level
-        rv = fr2.readframe(None, start, True)
-        assert rv[0] is not None
+        rv = fr.readframe(None, sample, first)
+        if rv[0] is None:
+            sample, first = start, True
+            continue
+        sample = rv[2]
+        first = False
         nframes += 1
     dt = time.time() - t0
 

@@ -32,6 +32,7 @@ from ld_decode_tpu.ops.filters import DemodBank
 from ld_decode_tpu.tbc import sync as S
 from ld_decode_tpu.tbc import resample as RS
 from ld_decode_tpu.tbc import burst as B
+from ld_decode_tpu.tbc import fused as FU
 from ld_decode_tpu.audio.stage2 import audio_stage2
 from ld_decode_tpu.audio.downscale import downscale_audio
 from ld_decode_tpu.vbi.philips import decode_philips_line, interpret_philips
@@ -225,12 +226,13 @@ class FieldDecoder:
         starts = ll.copy()
         starts[:9] -= 200          # search for the *beginning* of hsync
 
-        zc, refined, bad_dev, found = S.refine_hsync_zc(
+        starts_i, zc_rel, refined_rel, bad_dev, found = S.refine_hsync_zc(
             video['demod_05'], jnp.asarray(starts), self.freq,
             cfg.iretohz(-20), cfg.iretohz(-60), cfg.iretohz(20),
             cfg.iretohz(100), cfg.iretohz(-10), cfg.iretohz(10))
-        zc = np.asarray(zc, np.float64)
-        refined = np.asarray(refined, np.float64)
+        starts_i = np.asarray(starts_i, np.float64)
+        zc = starts_i + np.asarray(zc_rel, np.float64)
+        refined = starts_i + np.asarray(refined_rel, np.float64)
         bad_dev = np.asarray(bad_dev)
         found = np.asarray(found)
 
@@ -273,8 +275,10 @@ class FieldDecoder:
         """(reference lddecode_core.py:1054-1133)."""
         cfg = self.cfg
         wow = (np.diff(linelocs)[:linecount] / self.inlinelen)
-        scaled = RS.downscale_lines(
-            video['demod_burst'], jnp.asarray(linelocs),
+        lli = np.floor(linelocs).astype(np.int32)
+        llf = (linelocs - lli).astype(np.float32)
+        scaled = RS.downscale_lines_split(
+            video['demod_burst'], jnp.asarray(lli), jnp.asarray(llf),
             self.outlinelen, linecount, jnp.asarray(wow, np.float32))
 
         hz_ire = 1700000 / 140
@@ -326,9 +330,11 @@ class FieldDecoder:
         lineoffset = 1 if cfg.system == 'NTSC' else 3
         li = linelocs[lineoffset:]        # lineinfo[l], l from lineoffset
         wow = (np.diff(li)[:linecount] / self.inlinelen)
-        out = RS.downscale_lines(
-            video['demod'], jnp.asarray(li), self.outlinelen, linecount,
-            jnp.asarray(wow, np.float32))
+        lli = np.floor(li).astype(np.int32)
+        llf = (li - lli).astype(np.float32)
+        out = RS.downscale_lines_split(
+            video['demod'], jnp.asarray(lli), jnp.asarray(llf),
+            self.outlinelen, linecount, jnp.asarray(wow, np.float32))
         dsout = np.asarray(out, np.float64).reshape(-1)
 
         sp = cfg.sys
@@ -361,6 +367,97 @@ class FieldDecoder:
             linecode[l] = decode_philips_line(video['demod'], linelocs[l],
                                               cfg)
         return linecode, interpret_philips(linecode)
+
+    # ---------------- fused device-resident path ----------------
+
+    def analyze_resident(self, capture_dev, readsample: int,
+                         mtf_level: float):
+        """Phase A on a device-resident capture: demod + peaks (one
+        transfer).  Returns (video, audio, peaks, vals) or None at EOF."""
+        cfg = self.cfg
+        n = D.stream_len(cfg, self.nblocks)
+        readsample = max(readsample, cfg.blockcut)
+        if readsample - cfg.blockcut + n > capture_dev.shape[0]:
+            return None
+        video, audio, packed = FU.field_analyze(
+            capture_dev, jnp.int32(readsample), self.bank, cfg,
+            self.nblocks, jnp.float32(mtf_level))
+        pk = FU.PEAKS_SPEC.unpack(np.asarray(packed))
+        nvalid = int((pk['idx'] >= 0).sum())
+        return video, audio, pk['idx'][:nvalid], pk['val'][:nvalid]
+
+    def process_resident(self, capture_dev, readsample: int,
+                         mtf_level: float = 0.0, audio_offset: float = 0.0,
+                         full_decode: bool = True) -> Optional[FieldResult]:
+        """Fused two-round-trip field decode (see tbc/fused.py).
+
+        Mirrors process(); returns None at EOF (like a loader short read).
+        """
+        cfg = self.cfg
+        rv = self.analyze_resident(capture_dev, readsample, mtf_level)
+        if rv is None:
+            return None
+        video, audio, peaks, vals = rv
+
+        if len(peaks) == 0:
+            return FieldResult(False, cfg.linelen * 200, peak_count=0,
+                               vsync_count=0)
+        vsyncs = self.determine_vsyncs(peaks, vals)
+        if len(vsyncs) == 0:
+            return FieldResult(False, cfg.linelen * 200,
+                               peak_count=len(peaks), vsync_count=0)
+        if len(vsyncs) == 1 or len(peaks) < vsyncs[1][1] + 4:
+            jumpto = int(peaks[max(vsyncs[0][1] - 10, 0)])
+            nfo = jumpto if jumpto != 0 else cfg.linelen * 240
+            return FieldResult(False, nfo, peak_count=len(peaks),
+                               vsync_count=len(vsyncs))
+
+        nextfieldoffset = int(peaks[vsyncs[1][1] - 10])
+        istop = bool(vsyncs[0][2])
+        linecount = self.field_lines + (1 if istop else 0)
+
+        try:
+            linelocs1, linebad = self.compute_linelocs(peaks, vals, vsyncs,
+                                                       linecount)
+        except Exception:
+            return FieldResult(False, nextfieldoffset,
+                               peak_count=len(peaks), vsync_count=len(vsyncs))
+
+        nlines = len(linelocs1)
+        n_audio1 = self.nblocks * self.bank.a_stage1_keep \
+            if audio is not None else 0
+        ll1i = np.floor(linelocs1).astype(np.int32)
+        ll1f = (linelocs1 - ll1i).astype(np.float32)
+        bundle = FU.field_finish(
+            video, audio, jnp.asarray(ll1i), jnp.asarray(ll1f),
+            jnp.asarray(linebad), jnp.float32(audio_offset), self.bank,
+            cfg, linecount, nlines, n_audio1,
+            colorlevel=self.colorlevel, colorphase=self.colorphase)
+        spec = FU.finish_bundle_spec(cfg, linecount, nlines)
+        data = spec.unpack(np.asarray(bundle))
+
+        linelocs = (data['linelocs_i'].astype(np.float64)
+                    + data['linelocs_f'].astype(np.float64))
+        linecode = {}
+        for i, l in enumerate(cfg.sys.philips_codelines):
+            linecode[l] = decode_philips_line(
+                data['philips'][i], float(data['philips_frac'][i]), cfg)
+        vbi = interpret_philips(linecode)
+
+        result = FieldResult(
+            True, nextfieldoffset, istop=istop, linecount=linecount,
+            tbcstart=nextfieldoffset, peak_count=len(peaks),
+            vsync_count=len(vsyncs), linelocs=linelocs,
+            burstlevel=data['burstlevel'].astype(np.float64),
+            vbi=vbi, linecode=linecode)
+        if full_decode:
+            result.dspicture = data['picture']
+            if audio is not None:
+                nout = (int(data['audio_count'][0]) - 1) * 2
+                result.dsaudio = data['audio'][:nout]
+                result.audio_next_offset = float(
+                    data['audio_next_offset'][0])
+        return result
 
     # ---------------- top level ----------------
 

@@ -21,11 +21,19 @@ from ld_decode_tpu.utils.params import DecoderConfig
 
 class Framer:
     def __init__(self, cfg: DecoderConfig, bank: DemodBank,
-                 loader: Callable, full_decode: bool = True,
-                 nblocks: int = 66):
+                 loader: Callable = None, full_decode: bool = True,
+                 nblocks: int = 66, capture: np.ndarray = None):
+        """Either `loader` (streaming file reads, reference-style) or
+        `capture` (whole capture kept device-resident; two fused device
+        calls per field — the fast path) must be given."""
         self.cfg = cfg
         self.bank = bank
         self.loader = loader
+        self.capture_dev = None
+        if capture is not None:
+            import jax
+            self.capture_dev = jax.device_put(
+                np.asarray(capture, dtype=np.uint16))
         self.full_decode = full_decode
         self.decoder = FieldDecoder(cfg, bank, nblocks)
         self.nblocks = nblocks
@@ -57,11 +65,18 @@ class Framer:
         cfg = self.cfg
         readsample = int(sample)
         while True:
-            stream = self._load(infile, readsample)
-            if stream is None:
-                return None, None, None
-            f = self.decoder.process(stream, self.mtf_level,
-                                     self.audio_offset, self.full_decode)
+            if self.capture_dev is not None:
+                f = self.decoder.process_resident(
+                    self.capture_dev, readsample, self.mtf_level,
+                    self.audio_offset, self.full_decode)
+                if f is None:
+                    return None, None, None
+            else:
+                stream = self._load(infile, readsample)
+                if stream is None:
+                    return None, None, None
+                f = self.decoder.process(stream, self.mtf_level,
+                                         self.audio_offset, self.full_decode)
             nextsample = readsample + f.nextfieldoffset
             if not f.valid:
                 if f.peak_count < 100:

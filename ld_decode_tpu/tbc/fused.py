@@ -1,0 +1,419 @@
+"""Fused device-side field pipeline (two round trips per field).
+
+The sandbox TPU tunnel costs ~30 ms per host<->device round trip, so the
+per-field decode is restructured into exactly two jitted calls:
+
+  * `field_analyze`: dynamic-slice the device-resident capture, batched
+    demod, sync-peak NMS -> one small packed transfer (peak list).
+  * `field_finish`: hsync zero-crossing refinement (sequential bad-line
+    propagation as a lax.scan), NTSC burst refinement x2 (neighbor repair as
+    scans), color-phase offset, wow-corrected downscale + 16-bit scale +
+    line-flag words, audio stage-2 + 48 kHz chase resample, VBI line-window
+    gather -> ONE packed uint16 transfer.
+
+Between the two calls the host runs the O(peaks) vsync/line-numbering logic
+(reference semantics, see tbc/field.py).  All heavy arrays stay in HBM.
+
+Parity: every step mirrors tbc/field.py's host/device split (which is
+oracle-tested); tests/test_fused.py pins the two paths against each other.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_decode_tpu.ops import demod as D
+from ld_decode_tpu.ops.filters import DemodBank
+from ld_decode_tpu.tbc import sync as S
+from ld_decode_tpu.tbc import resample as RS
+from ld_decode_tpu.tbc import burst as B
+from ld_decode_tpu.audio.stage2 import audio_stage2
+from ld_decode_tpu.utils.params import DecoderConfig
+
+AUDIO_MAXT = 828   # > ceil(field_time * 48kHz) for 263-line NTSC / 313 PAL
+PHILIPS_MARGIN = 16  # µs beyond one line gathered for the VBI slicer
+
+
+# ---------------------------------------------------------------------------
+# split positions: float32 cannot hold absolute sample positions (~1e6) to
+# sub-sample precision (1 ulp = 1/16 sample), which is fatal for chroma
+# phase.  Line locations therefore travel as (int32 anchor, float32 offset)
+# pairs; every update keeps the offset small and renormalizes.
+
+def split_norm(i: jnp.ndarray, f: jnp.ndarray):
+    q = jnp.floor(f)
+    return (i + q.astype(jnp.int32), (f - q).astype(jnp.float32))
+
+
+def split_sub(ai, af, bi, bf):
+    """(a - b) as a plain float32 (valid when |a-b| is small)."""
+    return (ai - bi).astype(jnp.float32) + (af - bf)
+
+
+# ---------------------------------------------------------------------------
+# packing: many small outputs -> one uint16 buffer -> one D2H transfer
+
+def _to_u16(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.uint16:
+        return x.reshape(-1)
+    if x.dtype == jnp.int16:
+        return jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(-1)
+    if x.dtype in (jnp.float32, jnp.int32, jnp.uint32):
+        return jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(-1)
+    raise TypeError(f'cannot pack dtype {x.dtype}')
+
+
+def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.concatenate([_to_u16(a) for a in arrays])
+
+
+class BundleSpec:
+    """Static layout of a packed uint16 buffer."""
+
+    def __init__(self, fields: List[Tuple[str, tuple, np.dtype]]):
+        self.fields = fields
+        self.offsets = []
+        off = 0
+        for name, shape, dtype in fields:
+            n = int(np.prod(shape)) * (np.dtype(dtype).itemsize // 2)
+            self.offsets.append((name, off, n, shape, dtype))
+            off += n
+        self.total = off
+
+    def unpack(self, buf: np.ndarray) -> Dict[str, np.ndarray]:
+        out = {}
+        for name, off, n, shape, dtype in self.offsets:
+            raw = np.ascontiguousarray(buf[off:off + n])
+            out[name] = raw.view(dtype).reshape(shape)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# phase A
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
+def field_analyze(capture: jnp.ndarray, start: jnp.ndarray, bank: DemodBank,
+                  cfg: DecoderConfig, nblocks: int, mtf_level: jnp.ndarray):
+    """Demod + sync peaks from a device-resident capture.
+
+    start: scalar file-sample index of demod output 0 (the head cut is
+    applied here).  Returns (video_dict, audio_dict, packed_peaks)."""
+    n = D.stream_len(cfg, nblocks)
+    s0 = jnp.clip(start - cfg.blockcut, 0, capture.shape[0] - n)
+    stream = jax.lax.dynamic_slice(capture, (s0,), (n,)).astype(jnp.float32)
+
+    blocks = D.overlap_blocks(stream, cfg, nblocks)
+    R_os = jnp.fft.rfft(blocks)
+    video = D.demod_video_rfft(R_os, bank, cfg, mtf_level)
+    keep = cfg.block_keep
+    video = {k: v[:, cfg.blockcut:cfg.blockcut + keep].reshape(-1)
+             for k, v in video.items()}
+
+    audio = None
+    if bank.has_audio:
+        a = D.demod_audio_rfft(R_os, bank)
+        dec1 = cfg.blocklen // bank.a_stage1_len
+        acut = cfg.blockcut // dec1
+        audio = {k: v[:, acut:acut + bank.a_stage1_keep].reshape(-1)
+                 for k, v in a.items()}
+
+    idx, val = S.find_sync_peaks(video['demod_sync'],
+                                 int(cfg.linelen * 0.4))
+    packed = pack_bundle([idx.astype(jnp.int32), val.astype(jnp.float32)])
+    return video, audio, packed
+
+
+PEAKS_SPEC = BundleSpec([
+    ('idx', (S.MAX_PEAKS,), np.int32),
+    ('val', (S.MAX_PEAKS,), np.float32),
+])
+
+
+# ---------------------------------------------------------------------------
+# phase B helpers (all traced; linecount static)
+
+def _hsync_refine(video, lli, llf, linebad, cfg: DecoderConfig):
+    """Device version of FieldDecoder.refine_linelocs_hsync incl. the
+    sequential repairs (reference lddecode_core.py:715-787); line locations
+    in split (int, frac) form."""
+    freq = int(round(cfg.freq_mhz))
+    n = lli.shape[0]
+    idx = jnp.arange(n)
+    si = jnp.where(idx < 9, lli - 200, lli)
+
+    starts_i, zc_rel, refined_rel, bad_dev, found = S.refine_hsync_zc(
+        video['demod_05'], si, freq,
+        cfg.iretohz(-20), cfg.iretohz(-60), cfg.iretohz(20),
+        cfg.iretohz(100), cfg.iretohz(-10), cfg.iretohz(10))
+
+    usable = found & ~linebad
+    chosen = jnp.where(idx >= 10, refined_rel, zc_rel)
+    # unchanged lines keep their original (si, llf) position
+    bi = jnp.where(usable, starts_i, si)
+    bf = jnp.where(usable, chosen, llf)
+    bad = jnp.where(usable, linebad | ((idx >= 10) & bad_dev), True)
+    bf = jnp.where(idx < 10, bf + 4.72 * cfg.freq_mhz, bf)
+    bi, bf = split_norm(bi, bf)
+
+    def step(carry, x):
+        p1i, p1f, p2i, p2f = carry
+        cbi, cbf, isbad, i = x
+        vi = p1i + (p1i - p2i)
+        vf = p1f + (p1f - p2f)
+        take = isbad & (i > 10)
+        oi = jnp.where(take, vi, cbi)
+        of = jnp.where(take, vf, cbf)
+        return (oi, of, p1i, p1f), (oi, of)
+
+    _, (ll2i, ll2f) = jax.lax.scan(
+        step, (jnp.int32(0), jnp.float32(0.), jnp.int32(0), jnp.float32(0.)),
+        (bi, bf, bad, idx))
+
+    # head/tail gap sanitizers, unrolled (static 10 iterations each)
+    lo = cfg.linelen - (cfg.freq_mhz * .2)
+    hi = cfg.linelen + (cfg.freq_mhz * .2)
+    for i in range(9, -1, -1):
+        gap = split_sub(ll2i[i + 1], ll2f[i + 1], ll2i[i], ll2f[i])
+        gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
+        ll2i = ll2i.at[i].set(ll2i[i + 1])
+        ll2f = ll2f.at[i].set(ll2f[i + 1] - gap)
+    for i in range(n - 10, n):
+        gap = split_sub(ll2i[i], ll2f[i], ll2i[i - 1], ll2f[i - 1])
+        gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
+        ll2i = ll2i.at[i].set(ll2i[i - 1])
+        ll2f = ll2f.at[i].set(ll2f[i - 1] + gap)
+    return split_norm(ll2i, ll2f) + (bad,)
+
+
+def _burst_refine(video, lli, llf, linecount: int, cfg: DecoderConfig):
+    """Device version of FieldDecoder.refine_linelocs_burst
+    (reference lddecode_core.py:1054-1133); split line locations."""
+    n = lli.shape[0]
+    inlinelen = cfg.linelen
+    W = cfg.sys.outlinelen
+    gaps = (lli[1:] - lli[:-1]).astype(jnp.float32) + (llf[1:] - llf[:-1])
+    wow = (gaps[:linecount] / inlinelen).astype(jnp.float32)
+    scaled = RS.downscale_lines_split(video['demod_burst'], lli, llf, W,
+                                      linecount, wow)
+
+    hz_ire = 1700000 / 140
+    ph0, ph1, level, level_ok, counts_ok = B.burst_phase_offsets(scaled,
+                                                                 hz_ire)
+    ok = level_ok & counts_ok
+    pad = n - linecount
+    pa0 = jnp.pad(jnp.where(ok, ph0, 0.), (0, pad))
+    pa1 = jnp.pad(jnp.where(ok, ph1, 0.), (0, pad))
+    bl = jnp.pad(jnp.where(level_ok, level, 0.), (0, pad))
+
+    has = (pa0 != 0) | (pa1 != 0)
+    nan = jnp.float32(jnp.nan)
+    med0 = jnp.nanmedian(jnp.where(has, pa0, nan))
+    med1 = jnp.nanmedian(jnp.where(has, pa1, nan))
+    use1 = jnp.abs(med0) >= jnp.abs(med1)      # else group 0
+    any_valid = jnp.any(has)
+
+    adjset = jnp.where(use1, pa1, pa0)
+    adjset = jnp.where(any_valid, adjset, 0.)
+    pgidx = use1.astype(jnp.int32)
+    parity = (jnp.arange(n) % 2) == (pgidx % 2)
+    # (with no valid burst lines the reference returns before flip/adjust)
+    bl = jnp.where(parity & any_valid, -bl, bl)
+
+    badadj = (jnp.abs(adjset) > 2) & any_valid
+    bl = jnp.where(badadj, 0., bl)
+    px = cfg.freq_mhz / (4 * 315 / 88)
+    o_i = lli
+    o_f = jnp.where(badadj, llf, llf - adjset * px)
+
+    # sequential neighbor repair for zero-burst lines:
+    # ll3[l] = (ll3[l-1] + orig[l+1]) / 2, with ll3[l-1] possibly repaired
+    ni = jnp.concatenate([o_i[1:], o_i[-1:]])
+    nf = jnp.concatenate([o_f[1:], o_f[-1:]])
+    lidx = jnp.arange(n)
+
+    def step(carry, x):
+        pi, pf = carry
+        oi, of, nxi, nxf, blz, l = x
+        s_i = pi + nxi
+        s_f = pf + nxf
+        vi = s_i // 2
+        vf = (s_f + (s_i % 2).astype(jnp.float32)) / 2
+        take = blz & (l >= 2) & (l <= n - 2)
+        ri = jnp.where(take, vi, oi)
+        rf = jnp.where(take, vf, of)
+        return (ri, rf), (ri, rf)
+
+    _, (r_i, r_f) = jax.lax.scan(step, (o_i[0], o_f[0]),
+                                 (o_i, o_f, ni, nf, bl == 0, lidx))
+    r_i, r_f = split_norm(r_i, r_f)
+    return r_i, r_f, bl
+
+
+def _downscale_u16(video, lli, llf, linecount: int, burstlevel,
+                   cfg: DecoderConfig, colorlevel: float):
+    """(reference lddecode_core.py:789-812, 1135-1158)."""
+    sp = cfg.sys
+    W = sp.outlinelen
+    lineoffset = 1 if cfg.system == 'NTSC' else 3
+    ci = lli[lineoffset:]
+    cf = llf[lineoffset:]
+    gaps = (ci[1:] - ci[:-1]).astype(jnp.float32) + (cf[1:] - cf[:-1])
+    wow = (gaps[:linecount] / cfg.linelen).astype(jnp.float32)
+    out = RS.downscale_lines_split(video['demod'], ci, cf, W, linecount, wow)
+
+    reduced = (out - sp.ire0) / sp.hz_ire - sp.vsync_ire
+    if cfg.system == 'NTSC':
+        out_scale = float(0xc800 - 0x0400) / (100 - sp.vsync_ire)
+        offset = 1024
+    else:
+        out_scale = float(0xd300 - 0x0100) / (100 - sp.vsync_ire)
+        offset = 256
+    lines16 = jnp.clip(reduced * out_scale + offset, 0, 65535)
+    lines16 = jnp.floor(lines16 + 0.5)
+
+    if burstlevel is not None:
+        hz_ire_scale = 1700000 / 140
+        clevel = (1 / colorlevel) / hz_ire_scale
+        row = jnp.arange(linecount)
+        flagrow = (row >= 1) & (row < linecount - 1)
+        bl = burstlevel[:linecount]
+        flags = jnp.where(bl > 0, 16384.0, 32768.0)
+        levels = jnp.floor(327.67 * clevel * jnp.abs(bl)).astype(jnp.float32)
+        lines16 = lines16.at[:, 0].set(
+            jnp.where(flagrow, flags, lines16[:, 0]))
+        lines16 = lines16.at[:, 1].set(
+            jnp.where(flagrow, levels, lines16[:, 1]))
+    return lines16.astype(jnp.uint16).reshape(-1)
+
+
+def _downscale_audio_dev(a2l, a2r, lli, llf, linecount: int, audio_offset,
+                         cfg: DecoderConfig):
+    """(reference lddecode_core.py:431-484); fixed-size output + valid count.
+    """
+    sp = cfg.sys
+    frametime = (sp.line_period * linecount) / 1e6
+    gap = 1.0 / 48000.0
+    n = lli.shape[0]
+
+    ticks = audio_offset + jnp.arange(AUDIO_MAXT) * gap
+    count = jnp.ceil((frametime + gap - audio_offset) / gap).astype(jnp.int32)
+    count = jnp.clip(count, 1, AUDIO_MAXT)
+
+    linenum = (ticks * 1e6) / sp.line_period + 1
+    li = jnp.clip(linenum.astype(jnp.int32), 0, n - 1)
+    cur_i = lli[li]
+    cur_f = llf[li]
+    has_next = (li + 1) < n
+    li1 = jnp.clip(li + 1, 0, n - 1)
+    delta = jnp.where(
+        has_next,
+        (lli[li1] - cur_i).astype(jnp.float32) + (llf[li1] - cur_f),
+        jnp.float32(cfg.linelen))
+    frac = (linenum - jnp.floor(linenum)).astype(jnp.float32)
+    # sampleloc = cur + delta*frac; int(sampleloc/64) needs only the floor
+    sl_f = cur_f + delta * frac
+    sl_i = cur_i + jnp.floor(sl_f).astype(jnp.int32)
+    swow = delta / cfg.linelen
+    idx = jnp.clip(sl_i // 64, 0, a2l.shape[0] - 1)
+    left = a2l[idx] * swow - sp.audio_lfreq
+    right = a2r[idx] * swow - sp.audio_rfreq
+
+    def to16(x):
+        v = jnp.round(x * 32767.0 / 150000.0)
+        return jnp.clip(v, -32766, 32766).astype(jnp.int16)
+
+    inter = jnp.stack([to16(left), to16(right)], axis=1).reshape(-1)
+    next_offset = (audio_offset + (count - 1) * gap - frametime)
+    return inter, count, next_offset.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# phase B
+
+def finish_bundle_spec(cfg: DecoderConfig, linecount: int,
+                       nlines: int) -> BundleSpec:
+    W = cfg.sys.outlinelen
+    wp = philips_window_len(cfg)
+    return BundleSpec([
+        ('picture', (linecount * W,), np.uint16),
+        ('audio', (AUDIO_MAXT * 2,), np.int16),
+        ('linelocs_i', (nlines,), np.int32),
+        ('linelocs_f', (nlines,), np.float32),
+        ('burstlevel', (nlines,), np.float32),
+        ('philips', (len(cfg.sys.philips_codelines), wp), np.float32),
+        ('philips_frac', (len(cfg.sys.philips_codelines),), np.float32),
+        ('audio_count', (1,), np.int32),
+        ('audio_next_offset', (1,), np.float32),
+    ])
+
+
+def philips_window_len(cfg: DecoderConfig) -> int:
+    return cfg.linelen + int(PHILIPS_MARGIN * cfg.freq_mhz)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'linecount', 'nlines',
+                                             'n_audio1', 'colorlevel',
+                                             'colorphase'))
+def field_finish(video, audio1, ll1i, ll1f, linebad, audio_offset,
+                 bank: DemodBank, cfg: DecoderConfig, linecount: int,
+                 nlines: int, n_audio1: int, colorlevel: float = 1.45,
+                 colorphase: float = 91.5):
+    """Refinement + output generation; returns one packed uint16 buffer.
+
+    Line locations travel in split (int32, float32) form throughout."""
+    ll2i, ll2f, bad = _hsync_refine(video, ll1i, ll1f, linebad, cfg)
+
+    if cfg.system == 'NTSC':
+        ll3i, ll3f, bl = _burst_refine(video, ll2i, ll2f, linecount, cfg)
+        ll4i, ll4f, bl = _burst_refine(video, ll3i, ll3f, linecount, cfg)
+        shift33 = colorphase * (np.pi / 180)
+        px = cfg.freq_mhz / (4 * 315 / 88)
+        lli, llf = split_norm(ll4i, ll4f + (shift33 - 8) * px)
+        burstlevel = bl
+    else:
+        lli, llf = ll2i, ll2f
+        burstlevel = jnp.zeros_like(ll2f)
+
+    picture = _downscale_u16(video, lli, llf, linecount,
+                             burstlevel if cfg.system == 'NTSC' else None,
+                             cfg, colorlevel)
+
+    # audio: stage 2 + chase resample
+    if audio1 is not None:
+        a2l, a2r = audio_stage2(audio1['audio_left'], audio1['audio_right'],
+                                bank, n_audio1)
+        audio, acount, anext = _downscale_audio_dev(
+            a2l, a2r, lli, llf, linecount, audio_offset, cfg)
+    else:
+        audio = jnp.zeros(AUDIO_MAXT * 2, jnp.int16)
+        acount = jnp.int32(1)
+        anext = jnp.float32(0.)
+
+    # VBI windows for the host-side philips slicer
+    wp = philips_window_len(cfg)
+    wins = []
+    fracs = []
+    nsamp = video['demod'].shape[0]
+    for l in cfg.sys.philips_codelines:
+        w0 = jnp.clip(lli[l], 0, nsamp - wp)
+        wins.append(jax.lax.dynamic_slice(video['demod'], (w0,), (wp,)))
+        fracs.append((lli[l] - w0).astype(jnp.float32) + llf[l])
+    philips = jnp.stack(wins).astype(jnp.float32)
+    philips_frac = jnp.stack(fracs).astype(jnp.float32)
+
+    return pack_bundle([
+        picture,
+        audio,
+        lli.astype(jnp.int32),
+        llf.astype(jnp.float32),
+        burstlevel.astype(jnp.float32),
+        philips,
+        philips_frac,
+        acount.reshape(1),
+        anext.reshape(1),
+    ])

@@ -31,16 +31,22 @@ def catmull_rom_weights(t: jnp.ndarray):
     return w0, w1, w2, w3
 
 
+def cubic_gather(data: jnp.ndarray, i0: jnp.ndarray,
+                 t: jnp.ndarray) -> jnp.ndarray:
+    """4-tap cubic interpolation at integer indices i0 + fraction t."""
+    n = data.shape[0]
+    i0 = jnp.clip(i0, 1, n - 3)
+    w0, w1, w2, w3 = catmull_rom_weights(t.astype(data.dtype))
+    return (w0 * data[i0 - 1] + w1 * data[i0]
+            + w2 * data[i0 + 1] + w3 * data[i0 + 2])
+
+
 def sample_cubic(data: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Cubic interpolation of 1-D `data` at fractional positions `pos`
     (any shape).  Positions are clamped to the valid interior."""
-    n = data.shape[0]
-    pos = jnp.clip(pos, 1.0, n - 3.0)
+    pos = jnp.clip(pos, 1.0, data.shape[0] - 3.0)
     i0 = jnp.floor(pos).astype(jnp.int32)
-    t = (pos - i0).astype(data.dtype)
-    w0, w1, w2, w3 = catmull_rom_weights(t)
-    return (w0 * data[i0 - 1] + w1 * data[i0]
-            + w2 * data[i0 + 1] + w3 * data[i0 + 2])
+    return cubic_gather(data, i0, pos - i0)
 
 
 @functools.partial(jax.jit, static_argnames=('outwidth', 'nlines'))
@@ -63,6 +69,30 @@ def downscale_lines(data: jnp.ndarray, lineinfo: jnp.ndarray,
     k = jnp.arange(outwidth, dtype=data.dtype)
     pos = starts[:, None] + (ends - starts)[:, None] * (k[None, :] / outwidth)
     out = sample_cubic(data, pos)
+    if wow_scale is not None:
+        out = out * wow_scale[:, None]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('outwidth', 'nlines'))
+def downscale_lines_split(data: jnp.ndarray, lli: jnp.ndarray,
+                          llf: jnp.ndarray, outwidth: int, nlines: int,
+                          wow_scale: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
+    """downscale_lines with (int32 anchor, float32 offset) line locations.
+
+    float32 absolute positions only resolve 1/16 sample at ~1e6; splitting
+    keeps sub-sample precision (chroma phase needs ~1e-3 samples).
+    """
+    si = lli[:nlines]
+    sf = llf[:nlines]
+    steplen = (lli[1:nlines + 1] - si).astype(jnp.float32) \
+        + (llf[1:nlines + 1] - sf)
+    k = jnp.arange(outwidth, dtype=jnp.float32)
+    rel = sf[:, None] + steplen[:, None] * (k[None, :] / outwidth)
+    relf = jnp.floor(rel)
+    i0 = si[:, None] + relf.astype(jnp.int32)
+    out = cubic_gather(data, i0, rel - relf)
     if wow_scale is not None:
         out = out * wow_scale[:, None]
     return out

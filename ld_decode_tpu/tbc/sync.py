@@ -108,9 +108,10 @@ def refine_hsync_zc(demod_05: jnp.ndarray, starts: jnp.ndarray,
     rot/wow sanity checks on the surrounding windows, and compute the
     mid-level re-crossing zc2.
 
-    Returns (zc_abs, use_zc2_abs, bad):
-      zc_abs:      absolute refined location (float)
-      bad:         per-line sanity failure flags (host merges with linebad)
+    Returns (starts_i, zc_rel, refined_rel, bad, found): sub-sample positions
+    are RELATIVE to the clipped integer starts (absolute float32 positions
+    cannot hold sub-sample precision at ~1e6 samples); callers reconstruct
+    absolute locations in float64 (host) or split int+frac form (device).
     """
     n = demod_05.shape[0]
     starts_i = jnp.clip(starts.astype(jnp.int32), 1, n - 402)
@@ -118,8 +119,7 @@ def refine_hsync_zc(demod_05: jnp.ndarray, starts: jnp.ndarray,
     rows = gather_windows(demod_05, starts_i - 1, 402)
     rising = rows[:, 1] < ire_m20
     zc_rel, found = first_crossing(rows, ire_m20, rising)
-    zc = starts_i + zc_rel
-    zc_i = jnp.clip(zc.astype(jnp.int32), 0, n - 1)
+    zc_i = jnp.clip(starts_i + jnp.floor(zc_rel).astype(jnp.int32), 0, n - 1)
 
     # sanity windows (reference lddecode_core.py:737-743)
     w_hsync1 = gather_windows(demod_05, starts_i - 2 * freq, 4 * freq)
@@ -142,11 +142,12 @@ def refine_hsync_zc(demod_05: jnp.ndarray, starts: jnp.ndarray,
     zc2_rel, found2 = first_crossing(rows2, mid, rising2)
     # reference calczc returns None for a crossing at the very first sample
     found2 = found2 & (zc2_rel > 0)
-    zc2 = zc2_rel + (zc_i - 1 * freq)
-    zc2_ok = found2 & (jnp.abs(zc2 - zc) < freq / 4)
+    # express zc2 relative to starts_i, like zc_rel
+    zc2r = zc2_rel + (zc_i - 1 * freq - starts_i).astype(zc2_rel.dtype)
+    zc2_ok = found2 & (jnp.abs(zc2r - zc_rel) < freq / 4)
 
-    refined = jnp.where(zc2_ok & ~bad_range, zc2, zc)
+    refined_rel = jnp.where(zc2_ok & ~bad_range, zc2r, zc_rel)
     bad = ~found | bad_range | (~zc2_ok & ~bad_range)
     # per the reference, a failed zc2 (outside freq/4) marks the line bad but
     # keeps zc; a bad_range line keeps zc and is marked bad.
-    return zc, refined, bad, found
+    return starts_i, zc_rel, refined_rel, bad, found
