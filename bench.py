@@ -28,7 +28,7 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    nframes_cap = 6
+    nframes_cap = 16
     samples = E.encode_frames(cfg, nframes_cap,
                               E.EncodeSpec(pattern='ramp',
                                            cav_start_frame=900))
@@ -37,12 +37,15 @@ def main():
     samples_per_frame = cfg.freq_hz / cfg.sys.fps
     start = 33046
 
-    # warmup: compiles every kernel variant (262/263-line fields);
-    # capture stays device-resident (fused two-round-trip path)
-    fr = FR.Framer(cfg, bank, capture=samples)
+    # warmup: compiles every kernel variant; capture stays device-resident
+    # (speculative field batches: two round trips per batch)
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8)
     t0 = time.time()
+    f0, rs0, _ = fr.readfield(None, start)
+    assert f0 is not None, 'warmup field failed'
+    start = rs0          # first valid field position (skips the VI head)
     rv = fr.readframe(None, start, True)
-    assert rv[0] is not None, 'warmup field failed'
+    assert rv[0] is not None, 'warmup frame failed'
     rv = fr.readframe(None, rv[2], False)
     assert rv[0] is not None
     print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
@@ -63,6 +66,8 @@ def main():
         nframes += 1
     dt = time.time() - t0
 
+    if fr.prefetcher is not None:
+        print(f'# prefetcher stats: {fr.prefetcher.stats}', file=sys.stderr)
     msa_s = nframes * samples_per_frame / dt / 1e6
     baseline = 40.0
     print(f'# {nframes} frames in {dt:.2f}s', file=sys.stderr)

@@ -43,6 +43,7 @@ class EncodeSpec:
     burst_ire: float = 20.0
     sync_ire: float = -40.0
     white_flag: bool = False     # >80 IRE flag on field line 11
+    pilot_hz: float = 120000.0   # PAL pilot amplitude (Hz deviation)
 
 
 def cav_frame_nibbles(frame: int) -> List[int]:
@@ -58,27 +59,44 @@ def nibbles_to_bits(nibbles: List[int]) -> List[int]:
     return bits
 
 
-def _frame_pulse_schedule() -> List[Tuple[float, str]]:
-    """(start_time_H, kind) pulse schedule for one 525-line NTSC frame."""
+def _frame_pulse_schedule(frame_lines: int = 525) -> List[Tuple[float, str]]:
+    """(start_time_H, kind) pulse schedule for one frame.
+
+    NTSC: 3H eq / 3H broad / 3H eq per vertical interval.
+    PAL:  2.5H / 2.5H / 2.5H (fields offset half a line the other way)."""
     sched = []
-    # field 1 vertical interval
-    for k in range(6):
-        sched.append((0.0 + 0.5 * k, 'eq'))
-    for k in range(6):
-        sched.append((3.0 + 0.5 * k, 'broad'))
-    for k in range(6):
-        sched.append((6.0 + 0.5 * k, 'eq'))
-    for t in range(9, 263):
-        sched.append((float(t), 'hsync'))
-    # field 2 vertical interval
-    for k in range(6):
-        sched.append((262.5 + 0.5 * k, 'eq'))
-    for k in range(6):
-        sched.append((265.5 + 0.5 * k, 'broad'))
-    for k in range(6):
-        sched.append((268.5 + 0.5 * k, 'eq'))
-    for t in range(272, 525):
-        sched.append((float(t), 'hsync'))
+    if frame_lines == 525:
+        vi, gap2 = 3.0, 262.5
+        for base in (0.0, gap2):
+            for k in range(int(vi * 2)):
+                sched.append((base + 0.5 * k, 'eq'))
+            for k in range(int(vi * 2)):
+                sched.append((base + vi + 0.5 * k, 'broad'))
+            for k in range(int(vi * 2)):
+                sched.append((base + 2 * vi + 0.5 * k, 'eq'))
+        for t in range(9, 263):
+            sched.append((float(t), 'hsync'))
+        for t in range(272, 525):
+            sched.append((float(t), 'hsync'))
+    else:
+        # PAL 625: field 1 VI starts at 0, field 2 VI at 312.5; each VI is
+        # 2.5H eq + 2.5H broad + 2.5H eq of half-line pulses.  All hsyncs
+        # sit on the uniform 1H grid; the interlace offset lives in the
+        # 312.5H field length.  Field-1 VI starts on a line boundary (both
+        # bracketing gaps are full lines -> vote<0, istop=True per
+        # lddecode_core.py:562-584); field-2 VI starts mid-line (half-line
+        # gaps -> vote +1, istop=False).
+        for base in (0.0, 312.5):
+            for k in range(5):
+                sched.append((base + 0.5 * k, 'eq'))
+            for k in range(5):
+                sched.append((base + 2.5 + 0.5 * k, 'broad'))
+            for k in range(5):
+                sched.append((base + 5.0 + 0.5 * k, 'eq'))
+        for t in range(8, 312):
+            sched.append((float(t), 'hsync'))
+        for t in range(320, 625):
+            sched.append((float(t), 'hsync'))
     return sched
 
 
@@ -138,8 +156,10 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
             t = np.arange(i0, i1) / fs
             ire[i0:i1] += amp * np.sin(TAU * fsc * t)
 
-    sched = _frame_pulse_schedule()
+    sched = _frame_pulse_schedule(sp.frame_lines)
     widths = {'hsync': hsync_w, 'eq': eq_w, 'broad': broad_w}
+    half = sp.frame_lines / 2.0               # 262.5 / 312.5
+    first_active = 21 if sp.frame_lines == 525 else 23
 
     for f in range(nframes):
         f_t0 = f * sp.frame_lines * H
@@ -156,11 +176,12 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
             t0 = f_t0 + tH * H
             # which field/line is this?  decoder field line numbering counts
             # from the last regular hsync before vsync (see SURVEY §2.1):
-            # field 1: line L starts at (L-1)*H;  field 2: line L at 261.5+L.
-            if tH < 262.5:
+            # field 1: line L starts at (L-1)*H; field 2 offset by the
+            # half-line field length.
+            if tH < half:
                 fieldno, fline = 1, int(round(tH)) + 1
             else:
-                fieldno, fline = 2, int(round(tH - 261.5))
+                fieldno, fline = 2, int(round(tH - half + 0.5))
 
             paint_burst(t0 + burst_start, t0 + burst_end, spec.burst_ire)
 
@@ -183,13 +204,19 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
                 paint(t0 + active_start, t0 + active_end, 90.0)
                 continue
 
-            if fline >= 21:
+            if fline >= first_active:
                 i0 = int(np.ceil((t0 + active_start) * fs))
                 i1 = min(int(np.ceil((t0 + active_end) * fs)), n)
                 if i1 > i0:
                     t_abs = np.arange(i0, i1) / fs
                     x = (t_abs - (t0 + active_start)) / (active_end - active_start)
                     ire[i0:i1] = _active_pattern(spec, x, fline, t_abs, fsc)
+
+    if sp.system == 'PAL' and spec.pilot_hz > 0:
+        # 3.75 MHz pilot over the whole line incl. sync (the reference's
+        # pilot TBC reads the sync region, lddecode_core.py:973-975)
+        t = np.arange(n) / fs
+        ire += (spec.pilot_hz / sp.hz_ire) * np.sin(TAU * sp.pilot_mhz * t)
 
     return ire
 

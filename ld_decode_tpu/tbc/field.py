@@ -423,21 +423,23 @@ class FieldDecoder:
             return FieldResult(False, nextfieldoffset,
                                peak_count=len(peaks), vsync_count=len(vsyncs))
 
-        nlines = len(linelocs1)
         n_audio1 = self.nblocks * self.bank.a_stage1_keep \
             if audio is not None else 0
-        ll1i = np.floor(linelocs1).astype(np.int32)
-        ll1f = (linelocs1 - ll1i).astype(np.float32)
+        nmax = FU.max_nlines(cfg)
+        ll1p, badp = FU.pad_linelocs(linelocs1, linebad, nmax, cfg.linelen)
+        ll1i = np.floor(ll1p).astype(np.int32)
+        ll1f = (ll1p - ll1i).astype(np.float32)
         bundle = FU.field_finish(
             video, audio, jnp.asarray(ll1i), jnp.asarray(ll1f),
-            jnp.asarray(linebad), jnp.float32(audio_offset), self.bank,
-            cfg, linecount, nlines, n_audio1,
+            jnp.asarray(badp), jnp.int32(linecount),
+            jnp.float32(audio_offset), self.bank, cfg, n_audio1,
             colorlevel=self.colorlevel, colorphase=self.colorphase)
-        spec = FU.finish_bundle_spec(cfg, linecount, nlines)
+        spec = FU.finish_bundle_spec(cfg)
         data = spec.unpack(np.asarray(bundle))
 
+        nlines = len(linelocs1)
         linelocs = (data['linelocs_i'].astype(np.float64)
-                    + data['linelocs_f'].astype(np.float64))
+                    + data['linelocs_f'].astype(np.float64))[:nlines]
         linecode = {}
         for i, l in enumerate(cfg.sys.philips_codelines):
             linecode[l] = decode_philips_line(
@@ -448,10 +450,11 @@ class FieldDecoder:
             True, nextfieldoffset, istop=istop, linecount=linecount,
             tbcstart=nextfieldoffset, peak_count=len(peaks),
             vsync_count=len(vsyncs), linelocs=linelocs,
-            burstlevel=data['burstlevel'].astype(np.float64),
+            burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
             vbi=vbi, linecode=linecode)
         if full_decode:
-            result.dspicture = data['picture']
+            result.dspicture = data['picture'][:linecount
+                                               * cfg.sys.outlinelen]
             if audio is not None:
                 nout = (int(data['audio_count'][0]) - 1) * 2
                 result.dsaudio = data['audio'][:nout]
@@ -509,6 +512,15 @@ class FieldDecoder:
             shift33 = self.colorphase * (np.pi / 180)
             px_per_phase = cfg.freq_mhz / (4 * 315 / 88)
             linelocs = ll4 + (shift33 - 8) * px_per_phase
+        elif cfg.system == 'PAL' and full_decode:
+            from ld_decode_tpu.tbc import pal as PALK
+            lli = np.floor(linelocs2).astype(np.int32)
+            llf = (linelocs2 - lli).astype(np.float32)
+            li2, lf2 = PALK.refine_pilot(
+                video['demod'], video['demod_05'], jnp.asarray(lli),
+                jnp.asarray(llf), cfg.linelen, cfg.freq_mhz)
+            linelocs = (np.asarray(li2, np.float64)
+                        + np.asarray(lf2, np.float64))
         else:
             linelocs = linelocs2
 

@@ -22,20 +22,29 @@ from ld_decode_tpu.utils.params import DecoderConfig
 class Framer:
     def __init__(self, cfg: DecoderConfig, bank: DemodBank,
                  loader: Callable = None, full_decode: bool = True,
-                 nblocks: int = 66, capture: np.ndarray = None):
+                 nblocks: int = 66, capture: np.ndarray = None,
+                 batch: int = 1):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
-        calls per field — the fast path) must be given."""
+        calls per field — the fast path) must be given.  batch>1 adds the
+        speculative field-batch prefetcher (tbc/pipeline.py): two device
+        round trips per BATCH of fields; audio carry then advances per
+        field rather than per frame."""
         self.cfg = cfg
         self.bank = bank
         self.loader = loader
         self.capture_dev = None
+        self.prefetcher = None
         if capture is not None:
             import jax
             self.capture_dev = jax.device_put(
                 np.asarray(capture, dtype=np.uint16))
         self.full_decode = full_decode
         self.decoder = FieldDecoder(cfg, bank, nblocks)
+        if self.capture_dev is not None and batch > 1:
+            from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
+            self.prefetcher = FieldPrefetcher(self.decoder, self.capture_dev,
+                                              batch)
         self.nblocks = nblocks
 
         self.outwidth = cfg.sys.outlinelen
@@ -65,7 +74,15 @@ class Framer:
         cfg = self.cfg
         readsample = int(sample)
         while True:
-            if self.capture_dev is not None:
+            if self.prefetcher is not None:
+                f = self.prefetcher.get(readsample, self.mtf_level,
+                                        self.audio_offset)
+                if f is None:
+                    return None, None, None
+                if f.valid and f.dsaudio is not None:
+                    # batched mode: per-field audio carry (see pipeline.py)
+                    self.audio_offset = f.audio_next_offset
+            elif self.capture_dev is not None:
                 f = self.decoder.process_resident(
                     self.capture_dev, readsample, self.mtf_level,
                     self.audio_offset, self.full_decode)
@@ -154,6 +171,12 @@ class Framer:
 
         combined = self.formatoutput(fields) if self.full_decode else None
         self.vbi = self.mergevbi(fields)
+
+        if combined is not None:
+            # full line-0 metadata words (ld-decoder.h:227-252 spec; the
+            # reference Python pipeline left these as picture samples)
+            from ld_decode_tpu.vbi.metadata import frame_metadata_words
+            combined[:16] = frame_metadata_words(fields, self.vbi, cfg)
 
         # MTF compensation feedback: CAV frame number drives the RF
         # equalizer level; a large change forces a re-decode

@@ -32,11 +32,17 @@ from ld_decode_tpu.ops.filters import DemodBank
 from ld_decode_tpu.tbc import sync as S
 from ld_decode_tpu.tbc import resample as RS
 from ld_decode_tpu.tbc import burst as B
+from ld_decode_tpu.tbc import pal as PALK
 from ld_decode_tpu.audio.stage2 import audio_stage2
 from ld_decode_tpu.utils.params import DecoderConfig
 
-AUDIO_MAXT = 828   # > ceil(field_time * 48kHz) for 263-line NTSC / 313 PAL
 PHILIPS_MARGIN = 16  # µs beyond one line gathered for the VBI slicer
+
+
+def audio_maxt(cfg) -> int:
+    """Fixed 48 kHz tick-buffer size > any field's tick count."""
+    lc = cfg.sys.frame_lines // 2 + 1
+    return int(np.ceil(cfg.sys.line_period * lc / 1e6 * 48000.0)) + 8
 
 
 # ---------------------------------------------------------------------------
@@ -96,8 +102,7 @@ class BundleSpec:
 # ---------------------------------------------------------------------------
 # phase A
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
-def field_analyze(capture: jnp.ndarray, start: jnp.ndarray, bank: DemodBank,
+def _analyze_core(capture: jnp.ndarray, start: jnp.ndarray, bank: DemodBank,
                   cfg: DecoderConfig, nblocks: int, mtf_level: jnp.ndarray):
     """Demod + sync peaks from a device-resident capture.
 
@@ -128,6 +133,22 @@ def field_analyze(capture: jnp.ndarray, start: jnp.ndarray, bank: DemodBank,
     return video, audio, packed
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
+def field_analyze(capture, start, bank: DemodBank, cfg: DecoderConfig,
+                  nblocks: int, mtf_level):
+    return _analyze_core(capture, start, bank, cfg, nblocks, mtf_level)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
+def field_analyze_batch(capture, starts, bank: DemodBank, cfg: DecoderConfig,
+                        nblocks: int, mtf_level):
+    """vmap of the analyze phase over a batch of window starts; the
+    capture and filter bank are broadcast."""
+    fn = lambda s: _analyze_core(capture, s, bank, cfg, nblocks, mtf_level)
+    video, audio, packed = jax.vmap(fn)(starts)
+    return video, audio, packed.reshape(-1)
+
+
 PEAKS_SPEC = BundleSpec([
     ('idx', (S.MAX_PEAKS,), np.int32),
     ('val', (S.MAX_PEAKS,), np.float32),
@@ -137,10 +158,11 @@ PEAKS_SPEC = BundleSpec([
 # ---------------------------------------------------------------------------
 # phase B helpers (all traced; linecount static)
 
-def _hsync_refine(video, lli, llf, linebad, cfg: DecoderConfig):
+def _hsync_refine(video, lli, llf, linebad, lc, cfg: DecoderConfig):
     """Device version of FieldDecoder.refine_linelocs_hsync incl. the
     sequential repairs (reference lddecode_core.py:715-787); line locations
-    in split (int, frac) form."""
+    in split (int, frac) form.  lc: traced field line count (the arrays are
+    padded to the max count; the tail sanitizer tracks the true end)."""
     freq = int(round(cfg.freq_mhz))
     n = lli.shape[0]
     idx = jnp.arange(n)
@@ -182,33 +204,39 @@ def _hsync_refine(video, lli, llf, linebad, cfg: DecoderConfig):
         gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
         ll2i = ll2i.at[i].set(ll2i[i + 1])
         ll2f = ll2f.at[i].set(ll2f[i + 1] - gap)
-    for i in range(n - 10, n):
-        gap = split_sub(ll2i[i], ll2f[i], ll2i[i - 1], ll2f[i - 1])
+    # tail sanitizer over the last 10 TRUE lines (true nlines = lc + 4,
+    # reference lddecode_core.py:780-785); arrays may be padded by one.
+    nlines_true = lc + 4
+    for k in range(n - 11, n):
+        active = k >= (nlines_true - 10)
+        gap = split_sub(ll2i[k], ll2f[k], ll2i[k - 1], ll2f[k - 1])
         gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
-        ll2i = ll2i.at[i].set(ll2i[i - 1])
-        ll2f = ll2f.at[i].set(ll2f[i - 1] + gap)
+        ll2i = ll2i.at[k].set(jnp.where(active, ll2i[k - 1], ll2i[k]))
+        ll2f = ll2f.at[k].set(jnp.where(active, ll2f[k - 1] + gap, ll2f[k]))
     return split_norm(ll2i, ll2f) + (bad,)
 
 
-def _burst_refine(video, lli, llf, linecount: int, cfg: DecoderConfig):
+def _burst_refine(video, lli, llf, max_lc: int, lc, cfg: DecoderConfig):
     """Device version of FieldDecoder.refine_linelocs_burst
-    (reference lddecode_core.py:1054-1133); split line locations."""
+    (reference lddecode_core.py:1054-1133); split line locations.
+    max_lc: static row count; lc: traced true line count (mask)."""
     n = lli.shape[0]
     inlinelen = cfg.linelen
     W = cfg.sys.outlinelen
     gaps = (lli[1:] - lli[:-1]).astype(jnp.float32) + (llf[1:] - llf[:-1])
-    wow = (gaps[:linecount] / inlinelen).astype(jnp.float32)
+    wow = (gaps[:max_lc] / inlinelen).astype(jnp.float32)
     scaled = RS.downscale_lines_split(video['demod_burst'], lli, llf, W,
-                                      linecount, wow)
+                                      max_lc, wow)
 
     hz_ire = 1700000 / 140
     ph0, ph1, level, level_ok, counts_ok = B.burst_phase_offsets(scaled,
                                                                  hz_ire)
-    ok = level_ok & counts_ok
-    pad = n - linecount
+    inrow = jnp.arange(max_lc) < lc
+    ok = level_ok & counts_ok & inrow
+    pad = n - max_lc
     pa0 = jnp.pad(jnp.where(ok, ph0, 0.), (0, pad))
     pa1 = jnp.pad(jnp.where(ok, ph1, 0.), (0, pad))
-    bl = jnp.pad(jnp.where(level_ok, level, 0.), (0, pad))
+    bl = jnp.pad(jnp.where(level_ok & inrow, level, 0.), (0, pad))
 
     has = (pa0 != 0) | (pa1 != 0)
     nan = jnp.float32(jnp.nan)
@@ -243,7 +271,8 @@ def _burst_refine(video, lli, llf, linecount: int, cfg: DecoderConfig):
         s_f = pf + nxf
         vi = s_i // 2
         vf = (s_f + (s_i % 2).astype(jnp.float32)) / 2
-        take = blz & (l >= 2) & (l <= n - 2)
+        # true table length is lc+4 (reference range(2, len-1))
+        take = blz & (l >= 2) & (l <= lc + 2)
         ri = jnp.where(take, vi, oi)
         rf = jnp.where(take, vf, of)
         return (ri, rf), (ri, rf)
@@ -254,7 +283,7 @@ def _burst_refine(video, lli, llf, linecount: int, cfg: DecoderConfig):
     return r_i, r_f, bl
 
 
-def _downscale_u16(video, lli, llf, linecount: int, burstlevel,
+def _downscale_u16(video, lli, llf, max_lc: int, lc, burstlevel,
                    cfg: DecoderConfig, colorlevel: float):
     """(reference lddecode_core.py:789-812, 1135-1158)."""
     sp = cfg.sys
@@ -263,8 +292,8 @@ def _downscale_u16(video, lli, llf, linecount: int, burstlevel,
     ci = lli[lineoffset:]
     cf = llf[lineoffset:]
     gaps = (ci[1:] - ci[:-1]).astype(jnp.float32) + (cf[1:] - cf[:-1])
-    wow = (gaps[:linecount] / cfg.linelen).astype(jnp.float32)
-    out = RS.downscale_lines_split(video['demod'], ci, cf, W, linecount, wow)
+    wow = (gaps[:max_lc] / cfg.linelen).astype(jnp.float32)
+    out = RS.downscale_lines_split(video['demod'], ci, cf, W, max_lc, wow)
 
     reduced = (out - sp.ire0) / sp.hz_ire - sp.vsync_ire
     if cfg.system == 'NTSC':
@@ -279,9 +308,9 @@ def _downscale_u16(video, lli, llf, linecount: int, burstlevel,
     if burstlevel is not None:
         hz_ire_scale = 1700000 / 140
         clevel = (1 / colorlevel) / hz_ire_scale
-        row = jnp.arange(linecount)
-        flagrow = (row >= 1) & (row < linecount - 1)
-        bl = burstlevel[:linecount]
+        row = jnp.arange(max_lc)
+        flagrow = (row >= 1) & (row < lc - 1)
+        bl = burstlevel[:max_lc]
         flags = jnp.where(bl > 0, 16384.0, 32768.0)
         levels = jnp.floor(327.67 * clevel * jnp.abs(bl)).astype(jnp.float32)
         lines16 = lines16.at[:, 0].set(
@@ -291,18 +320,19 @@ def _downscale_u16(video, lli, llf, linecount: int, burstlevel,
     return lines16.astype(jnp.uint16).reshape(-1)
 
 
-def _downscale_audio_dev(a2l, a2r, lli, llf, linecount: int, audio_offset,
+def _downscale_audio_dev(a2l, a2r, lli, llf, lc, audio_offset,
                          cfg: DecoderConfig):
     """(reference lddecode_core.py:431-484); fixed-size output + valid count.
-    """
+    lc: traced line count."""
     sp = cfg.sys
-    frametime = (sp.line_period * linecount) / 1e6
+    maxt = audio_maxt(cfg)
+    frametime = (sp.line_period * lc.astype(jnp.float32)) / 1e6
     gap = 1.0 / 48000.0
     n = lli.shape[0]
 
-    ticks = audio_offset + jnp.arange(AUDIO_MAXT) * gap
+    ticks = audio_offset + jnp.arange(maxt) * gap
     count = jnp.ceil((frametime + gap - audio_offset) / gap).astype(jnp.int32)
-    count = jnp.clip(count, 1, AUDIO_MAXT)
+    count = jnp.clip(count, 1, maxt)
 
     linenum = (ticks * 1e6) / sp.line_period + 1
     li = jnp.clip(linenum.astype(jnp.int32), 0, n - 1)
@@ -335,13 +365,22 @@ def _downscale_audio_dev(a2l, a2r, lli, llf, linecount: int, audio_offset,
 # ---------------------------------------------------------------------------
 # phase B
 
-def finish_bundle_spec(cfg: DecoderConfig, linecount: int,
-                       nlines: int) -> BundleSpec:
+def max_linecount(cfg: DecoderConfig) -> int:
+    return cfg.sys.frame_lines // 2 + 1
+
+
+def max_nlines(cfg: DecoderConfig) -> int:
+    return max_linecount(cfg) + 4
+
+
+def finish_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     W = cfg.sys.outlinelen
     wp = philips_window_len(cfg)
+    linecount = max_linecount(cfg)
+    nlines = max_nlines(cfg)
     return BundleSpec([
         ('picture', (linecount * W,), np.uint16),
-        ('audio', (AUDIO_MAXT * 2,), np.int16),
+        ('audio', (audio_maxt(cfg) * 2,), np.int16),
         ('linelocs_i', (nlines,), np.int32),
         ('linelocs_f', (nlines,), np.float32),
         ('burstlevel', (nlines,), np.float32),
@@ -356,30 +395,45 @@ def philips_window_len(cfg: DecoderConfig) -> int:
     return cfg.linelen + int(PHILIPS_MARGIN * cfg.freq_mhz)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'linecount', 'nlines',
-                                             'n_audio1', 'colorlevel',
-                                             'colorphase'))
-def field_finish(video, audio1, ll1i, ll1f, linebad, audio_offset,
-                 bank: DemodBank, cfg: DecoderConfig, linecount: int,
-                 nlines: int, n_audio1: int, colorlevel: float = 1.45,
-                 colorphase: float = 91.5):
+def pad_linelocs(linelocs1: np.ndarray, linebad: np.ndarray, nmax: int,
+                 linelen: int):
+    """Pad a host line-location table to the max length by linear
+    extrapolation (padded lines are beyond every consumer's reach)."""
+    npad = nmax - len(linelocs1)
+    if npad <= 0:
+        return np.asarray(linelocs1, np.float64), np.asarray(linebad, bool)
+    ext = linelocs1[-1] + linelen * np.arange(1, npad + 1)
+    ll = np.concatenate([np.asarray(linelocs1, np.float64), ext])
+    bad = np.concatenate([np.asarray(linebad, bool), np.zeros(npad, bool)])
+    return ll, bad
+
+
+def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
+                      bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
+                      colorlevel: float = 1.45, colorphase: float = 91.5):
     """Refinement + output generation; returns one packed uint16 buffer.
 
-    Line locations travel in split (int32, float32) form throughout."""
-    ll2i, ll2f, bad = _hsync_refine(video, ll1i, ll1f, linebad, cfg)
+    Line locations travel in split (int32, float32) form; arrays are padded
+    to max_nlines(cfg) and the true field line count `lc` is traced, so one
+    compiled graph serves both 262- and 263-line fields and the whole
+    function vmaps over a batch of fields."""
+    max_lc = max_linecount(cfg)
+    ll2i, ll2f, bad = _hsync_refine(video, ll1i, ll1f, linebad, lc, cfg)
 
     if cfg.system == 'NTSC':
-        ll3i, ll3f, bl = _burst_refine(video, ll2i, ll2f, linecount, cfg)
-        ll4i, ll4f, bl = _burst_refine(video, ll3i, ll3f, linecount, cfg)
+        ll3i, ll3f, bl = _burst_refine(video, ll2i, ll2f, max_lc, lc, cfg)
+        ll4i, ll4f, bl = _burst_refine(video, ll3i, ll3f, max_lc, lc, cfg)
         shift33 = colorphase * (np.pi / 180)
         px = cfg.freq_mhz / (4 * 315 / 88)
         lli, llf = split_norm(ll4i, ll4f + (shift33 - 8) * px)
         burstlevel = bl
     else:
-        lli, llf = ll2i, ll2f
+        lli, llf = PALK.refine_pilot(
+            video['demod'], video['demod_05'], ll2i, ll2f,
+            cfg.linelen, cfg.freq_mhz)
         burstlevel = jnp.zeros_like(ll2f)
 
-    picture = _downscale_u16(video, lli, llf, linecount,
+    picture = _downscale_u16(video, lli, llf, max_lc, lc,
                              burstlevel if cfg.system == 'NTSC' else None,
                              cfg, colorlevel)
 
@@ -388,9 +442,9 @@ def field_finish(video, audio1, ll1i, ll1f, linebad, audio_offset,
         a2l, a2r = audio_stage2(audio1['audio_left'], audio1['audio_right'],
                                 bank, n_audio1)
         audio, acount, anext = _downscale_audio_dev(
-            a2l, a2r, lli, llf, linecount, audio_offset, cfg)
+            a2l, a2r, lli, llf, lc, audio_offset, cfg)
     else:
-        audio = jnp.zeros(AUDIO_MAXT * 2, jnp.int16)
+        audio = jnp.zeros(audio_maxt(cfg) * 2, jnp.int16)
         acount = jnp.int32(1)
         anext = jnp.float32(0.)
 
@@ -417,3 +471,27 @@ def field_finish(video, audio1, ll1i, ll1f, linebad, audio_offset,
         acount.reshape(1),
         anext.reshape(1),
     ])
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_audio1', 'colorlevel',
+                                             'colorphase'))
+def field_finish(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
+                 bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
+                 colorlevel: float = 1.45, colorphase: float = 91.5):
+    return field_finish_core(video, audio1, ll1i, ll1f, linebad, lc,
+                             audio_offset, bank, cfg, n_audio1,
+                             colorlevel, colorphase)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_audio1', 'colorlevel',
+                                             'colorphase'))
+def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
+                       bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
+                       colorlevel: float = 1.45, colorphase: float = 91.5):
+    """vmap of field_finish_core over a leading batch-of-fields axis."""
+    fn = lambda v, a, i_, f_, b_, l_, o_: field_finish_core(
+        v, a, i_, f_, b_, l_, o_, bank, cfg, n_audio1,
+        colorlevel, colorphase)
+    out = jax.vmap(fn)(video, audio1, ll1i, ll1f, linebad, lc, audio_offset)
+    # 2-D device->host transfers hang on the axon tunnel; ship flat
+    return out.reshape(-1)

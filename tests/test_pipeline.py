@@ -1,0 +1,73 @@
+"""Batched speculative prefetcher vs sequential resident decode."""
+
+import numpy as np
+import pytest
+
+from ld_decode_tpu.ops import filters as F
+from ld_decode_tpu.models import encode as E
+from ld_decode_tpu.tbc import framer as FR
+from ld_decode_tpu.utils.params import DecoderConfig
+
+
+@pytest.fixture(scope='module')
+def pair():
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='ramp',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr_seq = FR.Framer(cfg, bank, capture=samples)
+    fr_bat = FR.Framer(cfg, bank, capture=samples, batch=6)
+
+    frames_seq, frames_bat = [], []
+    s1 = s2 = 33046
+    for i in range(3):
+        rv1 = fr_seq.readframe(None, s1, i == 0)
+        rv2 = fr_bat.readframe(None, s2, i == 0)
+        if rv1[0] is None or rv2[0] is None:
+            break
+        frames_seq.append(rv1)
+        frames_bat.append(rv2)
+        s1, s2 = rv1[2], rv2[2]
+    return fr_seq, fr_bat, frames_seq, frames_bat
+
+
+def test_batched_frames_match(pair):
+    fr_seq, fr_bat, frames_seq, frames_bat = pair
+    assert len(frames_bat) == len(frames_seq) >= 2
+    for rv1, rv2 in zip(frames_seq, frames_bat):
+        a = rv1[0].reshape(-1, 910).astype(np.int64)
+        b = rv2[0].reshape(-1, 910).astype(np.int64)
+        # fields self-lock: different analysis windows, same output.
+        # Rows 0-23 (field lines 1-12: vsync + equalizing region) are
+        # legitimately window-position-dependent (reference
+        # lddecode_core.py:769-771 calls their locations a hack, only
+        # "reasonably" accurate); the picture area must be stable.
+        d = np.abs(a[24:] - b[24:])
+        assert np.percentile(d, 99.9) <= 2, d.max()
+
+
+def test_batched_vbi_match(pair):
+    fr_seq, fr_bat, frames_seq, frames_bat = pair
+    assert fr_seq.vbi['framenr'] == fr_bat.vbi['framenr'] is not None
+
+
+def test_batched_audio_close(pair):
+    """The per-field audio carry (vs the reference's stale per-frame carry)
+    shifts tick times by a sub-tick (<21 µs) amount — compare channels
+    spectrally: same dominant tone, same amplitude, same rms."""
+    _, _, frames_seq, frames_bat = pair
+    for rv1, rv2 in zip(frames_seq, frames_bat):
+        for ch in (0, 1):
+            a = rv1[1][ch::2].astype(np.float64)
+            b = rv2[1][ch::2].astype(np.float64)
+            n = min(len(a), len(b))
+            assert abs(len(a) - len(b)) <= 4
+            a, b = a[:n], b[:n]
+            ra = np.abs(np.fft.rfft(a - a.mean()))
+            rb = np.abs(np.fft.rfft(b - b.mean()))
+            # same dominant tone (peak magnitude itself is leakage-
+            # sensitive to the sub-tick phase shift, so compare rms energy)
+            assert np.argmax(ra) == np.argmax(rb)
+            rms_a = np.sqrt(np.mean(a ** 2))
+            rms_b = np.sqrt(np.mean(b ** 2))
+            assert abs(rms_a - rms_b) / rms_a < 0.02
