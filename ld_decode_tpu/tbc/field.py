@@ -137,19 +137,18 @@ class FieldDecoder:
         return line0, vote
 
     def determine_vsyncs(self, peaks, vals) -> List[List[int]]:
-        """(reference lddecode_core.py:590-636)."""
+        """(reference lddecode_core.py:590-636); the candidate scan is
+        vectorized — only actual vsync candidates run the voting logic."""
         if len(peaks) < 200:
             return []
         med, tol = hsync_stats(vals)
+        prev = np.concatenate([[1.0], vals[:-1]])
+        cands = np.nonzero((vals > .9) & (prev < med - tol * 2))[0]
         out = []
-        prevpeak = 1.0
-        for i in range(len(peaks)):
-            peak = vals[i]
-            if peak > .9 and prevpeak < med - tol * 2:
-                line0, vote = self.determine_field(peaks, vals, i, med, tol)
-                if line0 is not None:
-                    out.append([i, line0, vote])
-            prevpeak = peak
+        for i in cands:
+            line0, vote = self.determine_field(peaks, vals, int(i), med, tol)
+            if line0 is not None:
+                out.append([int(i), line0, vote])
         if len(out) < 2:
             return out
 
@@ -168,40 +167,49 @@ class FieldDecoder:
 
     def compute_linelocs(self, peaks, vals, vsyncs, linecount):
         """Integer line numbering + gap interpolation
-        (reference lddecode_core.py:638-713)."""
+        (reference lddecode_core.py:638-713).
+
+        Vectorized: regular-peak gaps are classified in one pass; the
+        rolling 25-gap median the reference recomputes per peak is only
+        ever *used* at abnormal gaps (and the first peak), so it is
+        evaluated just at those points — numerically identical."""
         med, tol = hsync_stats(vals)
         reg = (vals >= med - tol) & (vals <= med + tol)
 
+        end = vsyncs[1][1]
+        reg_idx = np.nonzero(reg[:end])[0]
         linelocs: Dict[int, float] = {}
-        linelens = [float(self.inlinelen)]
-        prevlineidx = None
-        prevlinenum = 0
-        for i in range(0, vsyncs[1][1]):
-            med_linelen = np.median(linelens[-25:])
-            if not reg[i]:
-                continue
-            if prevlineidx is not None:
-                linegap = float(peaks[i] - peaks[prevlineidx])
-                if .98 <= linegap / self.inlinelen <= 1.02:
-                    linelens.append(linegap)
-                    linenum = prevlinenum + 1
-                else:
-                    linenum = prevlinenum + int(round(linegap / med_linelen))
-            else:
-                linenum = int(round((peaks[i] - peaks[vsyncs[0][1]])
-                                    / med_linelen))
-            linelocs[linenum] = float(peaks[i])
-            prevlineidx = i
-            prevlinenum = linenum
+        if len(reg_idx):
+            ps = peaks[reg_idx].astype(np.float64)
+            gaps = np.diff(ps)
+            ok = (gaps / self.inlinelen >= .98) & (gaps / self.inlinelen
+                                                   <= 1.02)
+            inc = np.where(ok, 1, 0)
+            for j in np.nonzero(~ok)[0]:
+                hist = np.concatenate(
+                    [[float(self.inlinelen)], gaps[:j][ok[:j]]])[-25:]
+                inc[j] = int(round(gaps[j] / np.median(hist)))
+            first = int(round((ps[0] - peaks[vsyncs[0][1]])
+                              / self.inlinelen))
+            nums = first + np.concatenate([[0], np.cumsum(inc)])
+            for n, p in zip(nums, ps):       # later duplicates overwrite
+                linelocs[int(n)] = float(p)
 
+        present = np.array(sorted(linelocs), dtype=np.int64)
+        locs = np.array([linelocs[k] for k in present])
         filled = dict(linelocs)
         for l in range(1, linecount + 5):
             if l in linelocs:
                 continue
-            prev_valid = next((i for i in range(l, -10, -1) if i in linelocs),
-                              None)
-            next_valid = next((i for i in range(l, linecount + 1)
-                               if i in linelocs), None)
+            # prev valid: largest key <= l with key > -10; next: smallest
+            # key >= l with key <= linecount (reference's scan bounds)
+            ins = np.searchsorted(present, l)
+            prev_valid = None
+            if ins > 0 and present[ins - 1] > -10:
+                prev_valid = int(present[ins - 1])
+            next_valid = None
+            if ins < len(present) and present[ins] <= linecount:
+                next_valid = int(present[ins])
             if prev_valid is None:
                 filled[l] = linelocs[next_valid] - (self.inlinelen
                                                     * (next_valid - l))

@@ -99,6 +99,8 @@ class FieldPrefetcher:
     # ------------------------------------------------------------------
 
     def _refill(self, sample: int, mtf_level: float, audio_offset: float):
+        import time as _time
+        _t0 = _time.perf_counter()
         self.stats['refills'] += 1
         dec = self.decoder
         cfg = dec.cfg
@@ -127,6 +129,7 @@ class FieldPrefetcher:
             self.capture, jnp.asarray(starts, jnp.int32), dec.bank, cfg,
             dec.nblocks, jnp.float32(mtf_level))
         pk_all = np.asarray(packedB).reshape(B, -1)
+        _t1 = _time.perf_counter()
 
         nmax = FU.max_nlines(cfg)
         ll1i = np.zeros((B, nmax), np.int32)
@@ -182,7 +185,9 @@ class FieldPrefetcher:
             jnp.asarray(badB), jnp.asarray(lcB), jnp.asarray(offB),
             dec.bank, cfg, n_audio1,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase)
+        _t2 = _time.perf_counter()
         bun_all = np.asarray(bundles).reshape(B, -1)
+        _t3 = _time.perf_counter()
 
         spec = FU.finish_bundle_spec(cfg)
         W = cfg.sys.outlinelen
@@ -209,6 +214,10 @@ class FieldPrefetcher:
             r.audio_next_offset = float(data['audio_next_offset'][0])
             self.queue.append(_Entry(starts[b], r,
                                      mtf_level, float(offB[b])))
+        _t4 = _time.perf_counter()
+        for k, v in (('t_analyze', _t1 - _t0), ('t_host', _t2 - _t1),
+                     ('t_bundle', _t3 - _t2), ('t_unpack', _t4 - _t3)):
+            self.stats[k] = self.stats.get(k, 0.0) + v
 
         if not self.queue:
             # batch head failed: decode one field sequentially (handles

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Packaging front-end: .tbc (+ .pcm) -> RGB48 video (+ expanded audio).
+
+TPU-native equivalent of the reference's `encode-ntsc` / `encode-pal`
+pipelines (`cat x.tbc | comb -d3 | ffmpeg ...`): runs the comb chroma
+decoder and CX expander and either pipes rgb48le into ffmpeg (when
+available) or writes raw .rgb / .pcm files with the exact stream formats
+the reference scripts used (rgb48, 744x480 @29.97 NTSC interlaced).
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='Package decoded .tbc into video')
+    p.add_argument('intbc', help='input .tbc file')
+    p.add_argument('out', help='output base name (.mp4 with ffmpeg, else .rgb)')
+    p.add_argument('-p', '--pal', action='store_true')
+    p.add_argument('-d', '--dim', type=int, default=3,
+                   help='comb dimensions (1/2/3, default 3 like encode-ntsc)')
+    p.add_argument('-a', '--audio', default=None, help='input .pcm (48kHz s16)')
+    p.add_argument('--no-cx', action='store_true',
+                   help='skip CX expansion of the audio')
+    p.add_argument('-B', '--bw', action='store_true', help='B&W output')
+    p.add_argument('-W', '--wide', action='store_true',
+                   help='full 910-dot width (no crop)')
+    p.add_argument('-l', '--length', type=int, default=None,
+                   help='max frames')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.pal:
+        print('PAL comb is not implemented yet (the reference defers PAL '
+              'color to an external tool, comb-pal.README:1); '
+              'use -B for B&W export.', file=sys.stderr)
+        if not args.bw:
+            return 1
+
+    from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig, IN_X, IN_Y
+    from ld_decode_tpu.audio.cx import CXExpander
+
+    comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw, wide=args.wide))
+    width = IN_X if args.wide else 744
+    height = 480
+    fps = '25' if args.pal else '30000/1001'
+
+    ffmpeg = shutil.which('ffmpeg')
+    frame_bytes = IN_X * IN_Y * 2
+
+    # audio: CX expand to a side .pcm
+    audio_path = None
+    if args.audio:
+        cx = CXExpander()
+        audio_path = args.out + '.audio.pcm'
+        with open(args.audio, 'rb') as fa, open(audio_path, 'wb') as fo:
+            while True:
+                buf = fa.read(1 << 20)
+                if not buf:
+                    break
+                pcm = np.frombuffer(buf[:len(buf) // 4 * 4], '<i2')
+                out = cx.process(pcm) if not args.no_cx \
+                    else (pcm.astype(np.int64) + 32768).astype(np.uint16)
+                fo.write((out.astype(np.int32) - 32768
+                          ).astype('<i2').tobytes())
+
+    if ffmpeg:
+        cmd = [ffmpeg, '-y', '-f', 'rawvideo', '-pix_fmt', 'rgb48le',
+               '-s', f'{width}x{height}', '-r', fps, '-i', '-']
+        if audio_path:
+            cmd += ['-f', 's16le', '-ar', '48000', '-ac', '2',
+                    '-i', audio_path]
+        cmd += ['-flags', '+ildct+ilme', args.out + '.mp4']
+        sink = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        out_f = sink.stdin
+    else:
+        print('ffmpeg not found; writing raw rgb48 stream to '
+              f'{args.out}.rgb', file=sys.stderr)
+        sink = None
+        out_f = open(args.out + '.rgb', 'wb')
+
+    nframes = 0
+    with open(args.intbc, 'rb') as f:
+        while args.length is None or nframes < args.length:
+            buf = f.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            frame = np.frombuffer(buf, np.uint16)
+            rgb = comb.process(frame)
+            if rgb is None:          # 3D warmup
+                continue
+            out_f.write(np.ascontiguousarray(rgb).tobytes())
+            nframes += 1
+
+    out_f.close()
+    if sink:
+        sink.wait()
+    print(f'wrote {nframes} frames', file=sys.stderr)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -50,9 +50,9 @@ def tbc_frames():
     return frames
 
 
-def _run_oracle(frames, dim=2):
+def _run_oracle(frames, dim=2, extra=()):
     data = b''.join(f.tobytes() for f in frames)
-    p = subprocess.run([ORACLE_BIN, '-d', str(dim)], input=data,
+    p = subprocess.run([ORACLE_BIN, '-d', str(dim), *extra], input=data,
                        capture_output=True)
     out = np.frombuffer(p.stdout, np.uint16)
     per = 744 * 480 * 3
@@ -83,6 +83,25 @@ def test_comb1d_parity(tbc_frames):
     out = ours.process(tbc_frames[0])
     d = np.abs(out.astype(np.int64) - ref.astype(np.int64))
     assert np.percentile(d, 99) <= 8, (d.max(), np.percentile(d, 99))
+
+
+@pytest.mark.skipif(not _build_oracle(), reason='cannot build comb oracle')
+def test_comb3d_parity(tbc_frames):
+    """3D comb, no-opticalflow K-map path (reference comb -F -d 3)."""
+    frames = list(tbc_frames)
+    while len(frames) < 4:
+        frames.append(tbc_frames[-1])
+    ref_frames = _run_oracle(frames, dim=3, extra=('-F',))
+    ours = NTSCComb(CombConfig(dim=3))
+    got = []
+    for f in frames:
+        out = ours.process(f)
+        if out is not None:
+            got.append(out)
+    assert len(got) == len(ref_frames)
+    for out, ref in zip(got, ref_frames):
+        d = np.abs(out.astype(np.int64) - ref.astype(np.int64))
+        assert np.percentile(d, 99) <= 8, (d.max(), np.percentile(d, 99))
 
 
 def test_comb_bw_frame(tbc_frames):
