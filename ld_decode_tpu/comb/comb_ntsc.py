@@ -54,6 +54,7 @@ class CombConfig:
     p_3drange: float = 5.5
     wide: bool = False
     linesout: int = 480
+    use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
 
     @property
     def firstline(self) -> int:
@@ -381,6 +382,19 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig):
     invert_col = raw_u16[:, 0] == 16384
     if cfg.phase_invert:
         invert_col = ~invert_col
+
+    if (cfg.use_pallas and cfg.dim == 2 and not cfg.bw
+            and cfg.linesout == 480):
+        from ld_decode_tpu.comb.pallas_kernels import split_chain_2d
+        y, i, q = split_chain_2d(raw, invert_col)
+        if cfg.colorlpf:
+            i, q = filter_iq(i, q, cfg)
+        vbi_dst = _row_mask(0, 24) & _col_mask(4, 840)
+        raw_sh = jnp.concatenate([raw[20:], raw[:20]], axis=0)
+        y = jnp.where(vbi_dst, raw_sh, y)
+        y = do_ynr(y, cfg)
+        i, q = do_cnr(i, q, cfg)
+        return to_rgb(y, i, q, raw, aburstlev, cfg)
 
     clp0 = split1d(raw)
     if cfg.dim == 1:

@@ -185,7 +185,10 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
 
             paint_burst(t0 + burst_start, t0 + burst_end, spec.burst_ire)
 
-            if spec.philips and fline in sp.philips_codelines:
+            # CAV picture numbers live on one field per frame (the CAV
+            # pairing logic, lddecode_core.py:1273-1274, depends on this)
+            if spec.philips and fline in sp.philips_codelines \
+                    and fieldno == 1:
                 framenr = spec.cav_start_frame + f
                 bits = nibbles_to_bits(cav_frame_nibbles(framenr))
                 cell_us = 2.0

@@ -219,6 +219,8 @@ def findframe(infile, framer: Framer, target: int,
 
     retry = 5
     while abs(target - framer.vbi['framenr']) > tolerance and retry:
+        if rv is None or rv[2] is None:
+            return None
         offset = samples_per_frame * (target - 1 - framer.vbi['framenr'])
         nextsample = rv[2] + offset
         rv = framer.readframe(infile, nextsample, CAV=iscav)

@@ -53,9 +53,15 @@ def chain_audio_offset(offset: float, linecount: int, line_period: float,
 
 
 class FieldPrefetcher:
-    """Supplies FieldResults to the Framer from speculative batches."""
+    """Supplies FieldResults to the Framer from speculative batches.
 
-    def __init__(self, decoder: FieldDecoder, capture_dev, batch: int = 8):
+    With `pipelined=True` a single worker thread runs one batch of
+    lookahead: while the consumer drains batch k, batch k+1's device
+    dispatches and (dominant) D2H transfers proceed in the background.
+    The worker is the only thread issuing jax calls for this decoder."""
+
+    def __init__(self, decoder: FieldDecoder, capture_dev, batch: int = 8,
+                 pipelined: bool = True):
         self.decoder = decoder
         self.capture = capture_dev
         self.batch = batch
@@ -65,14 +71,78 @@ class FieldPrefetcher:
         self.field_pitch = int(round(cfg.freq_hz / cfg.sys.fps / 2))
         self.tol = cfg.linelen * 20
         self.stats = {'refills': 0, 'hits': 0, 'flush_sample': 0,
-                      'flush_mtf': 0, 'flush_audio': 0, 'seq_fallback': 0}
+                      'flush_mtf': 0, 'flush_audio': 0, 'seq_fallback': 0,
+                      'lookahead_used': 0, 'lookahead_wasted': 0}
+        self.pipelined = pipelined
+        self._executor = None
+        self._pending = None      # (future -> List[_Entry], pred_sample,
+                                  #  mtf, audio_offset)
 
     def flush(self):
         self.queue.clear()
 
+    # -------------------------------------------------------------- look-ahead
+
+    def _exec(self):
+        if self._executor is None:
+            import concurrent.futures
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        return self._executor
+
+    def _chain_after(self, e: _Entry):
+        nxt_sample = e.readsample + e.result.nextfieldoffset
+        nxt_offset = chain_audio_offset(e.audio_offset, e.result.linecount,
+                                        self.decoder.cfg.sys.line_period)
+        return nxt_sample, e.mtf_level, nxt_offset
+
+    def _maybe_schedule(self):
+        if not self.pipelined or self._pending is not None or not self.queue:
+            return
+        last = self.queue[-1]
+        if not last.result.valid:
+            return
+        sample, mtf, off = self._chain_after(last)
+        fut = self._exec().submit(self._build_entries, sample, mtf, off)
+        self._pending = (fut, sample, mtf, off)
+
+    def _harvest(self, want_sample=None, mtf_level=None, audio_offset=None):
+        """Merge a finished (or awaited) lookahead batch into the queue."""
+        if self._pending is None:
+            return
+        fut, psample, pmtf, poff = self._pending
+        must_wait = (want_sample is not None
+                     and abs(psample - want_sample) <= self.tol
+                     and abs(pmtf - mtf_level) <= .02
+                     and abs(poff - audio_offset) < 2e-5)
+        if not fut.done() and not must_wait:
+            return
+        self._pending = None
+        try:
+            entries = fut.result()
+        except Exception:
+            entries = []
+        if entries and not self.queue:
+            self.queue.extend(entries)
+            self.stats['lookahead_used'] += 1
+        elif entries and self.queue:
+            # only append if it chains after the current tail
+            exp, _, _ = self._chain_after(self.queue[-1])
+            if abs(entries[0].readsample - exp) <= self.tol:
+                self.queue.extend(entries)
+                self.stats['lookahead_used'] += 1
+            else:
+                self.stats['lookahead_wasted'] += 1
+        else:
+            self.stats['lookahead_wasted'] += 1
+
+    # ------------------------------------------------------------------
+
     def get(self, sample: int, mtf_level: float, audio_offset: float
             ) -> Optional[FieldResult]:
         """FieldResult for a window at `sample` (or None at EOF)."""
+        if not self.queue:
+            self._harvest(sample, mtf_level, audio_offset)
         if self.queue:
             e = self.queue[0]
             # mtf tolerance well below the reference's 0.1 re-decode
@@ -83,6 +153,9 @@ class FieldPrefetcher:
                     and abs(e.audio_offset - audio_offset) < 2e-5):
                 self.queue.pop(0)
                 self.stats['hits'] += 1
+                if len(self.queue) <= max(2, self.batch // 4):
+                    self._harvest()
+                    self._maybe_schedule()
                 return e.result
             if abs(e.readsample - sample) > self.tol:
                 self.stats['flush_sample'] += 1
@@ -91,17 +164,35 @@ class FieldPrefetcher:
             else:
                 self.stats['flush_audio'] += 1
             self.flush()
+        if self._pending is not None:
+            # drain the stale lookahead (worker owns the jax stream)
+            try:
+                self._pending[0].result()
+            except Exception:
+                pass
+            self._pending = None
+            self._harvest(sample, mtf_level, audio_offset)
+            if self.queue:
+                return self.get(sample, mtf_level, audio_offset)
         self._refill(sample, mtf_level, audio_offset)
         if not self.queue:
             return None
-        return self.queue.pop(0).result
+        entry = self.queue.pop(0)
+        self._maybe_schedule()
+        return entry.result
 
     # ------------------------------------------------------------------
 
     def _refill(self, sample: int, mtf_level: float, audio_offset: float):
+        self.queue.extend(self._build_entries(sample, mtf_level,
+                                              audio_offset))
+
+    def _build_entries(self, sample: int, mtf_level: float,
+                       audio_offset: float) -> List[_Entry]:
         import time as _time
         _t0 = _time.perf_counter()
         self.stats['refills'] += 1
+        out: List[_Entry] = []
         dec = self.decoder
         cfg = dec.cfg
         from ld_decode_tpu.ops import demod as D
@@ -122,7 +213,7 @@ class FieldPrefetcher:
                 starts.append(smax)
             s += self.field_pitch
         if n_real == 0:
-            return
+            return out
 
         B = len(starts)
         videoB, audioB, packedB = FU.field_analyze_batch(
@@ -212,18 +303,18 @@ class FieldPrefetcher:
             nout = (int(data['audio_count'][0]) - 1) * 2
             r.dsaudio = data['audio'][:nout]
             r.audio_next_offset = float(data['audio_next_offset'][0])
-            self.queue.append(_Entry(starts[b], r,
-                                     mtf_level, float(offB[b])))
+            out.append(_Entry(starts[b], r, mtf_level, float(offB[b])))
         _t4 = _time.perf_counter()
         for k, v in (('t_analyze', _t1 - _t0), ('t_host', _t2 - _t1),
                      ('t_bundle', _t3 - _t2), ('t_unpack', _t4 - _t3)):
             self.stats[k] = self.stats.get(k, 0.0) + v
 
-        if not self.queue:
+        if not out:
             # batch head failed: decode one field sequentially (handles
             # resync/invalid paths exactly)
+            self.stats['seq_fallback'] += 1
             r = self.decoder.process_resident(self.capture, int(sample),
                                               mtf_level, audio_offset, True)
             if r is not None:
-                self.queue.append(_Entry(int(sample), r, mtf_level,
-                                         audio_offset))
+                out.append(_Entry(int(sample), r, mtf_level, audio_offset))
+        return out
