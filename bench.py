@@ -39,7 +39,7 @@ def main():
 
     # warmup: compiles every kernel variant; capture stays device-resident
     # (speculative field batches: two round trips per batch)
-    fr = FR.Framer(cfg, bank, capture=samples, batch=10)
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8)
     t0 = time.time()
     f0, rs0, _ = fr.readfield(None, start)
     assert f0 is not None, 'warmup field failed'

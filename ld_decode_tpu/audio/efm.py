@@ -1,0 +1,192 @@
+"""EFM (Eight-to-Fourteen Modulation) digital audio front-end.
+
+LaserDiscs with digital soundtracks carry a CD-format EFM bitstream
+(the reference explored this in attic2/cd-decoder.py, an incomplete
+prototype: naive sample-by-sample PLL, frame consumption stubs).  This
+module is a working, vectorized implementation of the front half of the
+CD decode chain (ECMA-130 / IEC 60908):
+
+  * channel-bit recovery: zero crossings -> run lengths -> NRZI-M bits,
+    all as array ops (no per-sample Python loop)
+  * F3 frame sync detection (the T11-T11 sync pattern)
+  * EFM 14->8 demodulation via a 2^14 lookup-table gather
+  * per-frame subcode/control byte separation and payload extraction
+  * the ECMA-130 sector descrambler as a precomputed LFSR sequence
+
+Error correction (CIRC C1/C2 Reed-Solomon) and full sector assembly are
+not implemented yet (the reference has neither).
+
+EFM_CODES holds the 256 standardized 14-bit channel patterns from
+IEC 60908 (public standard constants), indexed by data byte value.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+EFM_CLOCK_HZ = 4.3218e6
+F3_CHANNEL_BITS = 588
+SYNC_PATTERN = '100000000001000000000010'   # T11 T11 (+ merging handled after)
+
+EFM_CODES = (
+    0x1220, 0x2100, 0x2420, 0x2220, 0x1100, 0x0110, 0x0420, 0x0900,
+    0x1240, 0x2040, 0x2440, 0x2240, 0x1040, 0x0040, 0x0440, 0x0840,
+    0x2020, 0x2080, 0x2480, 0x0820, 0x1080, 0x0080, 0x0480, 0x0880,
+    0x1210, 0x2010, 0x2410, 0x2210, 0x1010, 0x0210, 0x0410, 0x0810,
+    0x0020, 0x2108, 0x0220, 0x0920, 0x1108, 0x0108, 0x1020, 0x0908,
+    0x1248, 0x2048, 0x2448, 0x2248, 0x1048, 0x0048, 0x0448, 0x0848,
+    0x0100, 0x2088, 0x2488, 0x2110, 0x1088, 0x0088, 0x0488, 0x0888,
+    0x1208, 0x2008, 0x2408, 0x2208, 0x1008, 0x0208, 0x0408, 0x0808,
+    0x1224, 0x2124, 0x2424, 0x2224, 0x1124, 0x0024, 0x0424, 0x0924,
+    0x1244, 0x2044, 0x2444, 0x2244, 0x1044, 0x0044, 0x0444, 0x0844,
+    0x2024, 0x2084, 0x2484, 0x0824, 0x1084, 0x0084, 0x0484, 0x0884,
+    0x1204, 0x2004, 0x2404, 0x2204, 0x1004, 0x0204, 0x0404, 0x0804,
+    0x1222, 0x2122, 0x2422, 0x2222, 0x1122, 0x0022, 0x1024, 0x0922,
+    0x1242, 0x2042, 0x2442, 0x2242, 0x1042, 0x0042, 0x0442, 0x0842,
+    0x2022, 0x2082, 0x2482, 0x0822, 0x1082, 0x0082, 0x0482, 0x0882,
+    0x1202, 0x0248, 0x2402, 0x2202, 0x1002, 0x0202, 0x0402, 0x0802,
+    0x1221, 0x2121, 0x2421, 0x2221, 0x1121, 0x0021, 0x0421, 0x0921,
+    0x1241, 0x2041, 0x2441, 0x2241, 0x1041, 0x0041, 0x0441, 0x0841,
+    0x2021, 0x2081, 0x2481, 0x0821, 0x1081, 0x0081, 0x0481, 0x0881,
+    0x1201, 0x2090, 0x2401, 0x2201, 0x1090, 0x0201, 0x0401, 0x0890,
+    0x0221, 0x2109, 0x1110, 0x0121, 0x1109, 0x0109, 0x1021, 0x0909,
+    0x1249, 0x2049, 0x2449, 0x2249, 0x1049, 0x0049, 0x0449, 0x0849,
+    0x0120, 0x2089, 0x2489, 0x0910, 0x1089, 0x0089, 0x0489, 0x0889,
+    0x1209, 0x2009, 0x2409, 0x2209, 0x1009, 0x0209, 0x0409, 0x0809,
+    0x1120, 0x2111, 0x2490, 0x0224, 0x1111, 0x0111, 0x0490, 0x0911,
+    0x0241, 0x2101, 0x0244, 0x0240, 0x1101, 0x0101, 0x0090, 0x0901,
+    0x0124, 0x2091, 0x2491, 0x2120, 0x1091, 0x0091, 0x0491, 0x0891,
+    0x1211, 0x2011, 0x2411, 0x2211, 0x1011, 0x0211, 0x0411, 0x0811,
+    0x1102, 0x0102, 0x2112, 0x0902, 0x1112, 0x0112, 0x1022, 0x0912,
+    0x2102, 0x2104, 0x0249, 0x0242, 0x1104, 0x0104, 0x0422, 0x0904,
+    0x0122, 0x2092, 0x2492, 0x0222, 0x1092, 0x0092, 0x0492, 0x0892,
+    0x1212, 0x2012, 0x2412, 0x2212, 0x1012, 0x0212, 0x0412, 0x0812,)
+
+# byte value -> 14-bit pattern; inverse map pattern -> byte (-1 = invalid)
+EFM_DECODE = np.full(1 << 14, -1, dtype=np.int16)
+for _b, _p in enumerate(EFM_CODES):
+    EFM_DECODE[_p] = _b
+
+
+def channel_bits_from_rf(samples: np.ndarray, sample_rate_hz: float,
+                         max_bits: Optional[int] = None) -> np.ndarray:
+    """Recover the NRZI-M channel bitstream from a sliced EFM waveform.
+
+    Vectorized run-length clock recovery: sub-sample zero-crossing times ->
+    transition intervals -> rounded bit counts at the EFM clock; a
+    transition emits a 1 followed by (run-1) zeros.  Replaces the
+    reference's per-sample `edge_pll` generator (cd-decoder.py:348-363).
+    """
+    x = np.asarray(samples, np.float64)
+    x = x - x.mean()
+    s = x >= 0
+    flips = np.nonzero(s[1:] != s[:-1])[0]
+    if len(flips) < 2:
+        return np.zeros(0, np.uint8)
+    a = x[flips]
+    b = x[flips + 1]
+    t = flips + a / (a - b)
+
+    period = sample_rate_hz / EFM_CLOCK_HZ
+    runs = np.diff(t) / period
+    nbits = np.clip(np.round(runs).astype(np.int64), 1, 16)
+
+    total = int(nbits.sum()) + 1
+    bits = np.zeros(total, np.uint8)
+    starts = np.concatenate([[0], np.cumsum(nbits)[:-1]])
+    bits[starts] = 1
+    if max_bits is not None:
+        bits = bits[:max_bits]
+    return bits
+
+
+def find_frame_syncs(bits: np.ndarray) -> np.ndarray:
+    """Positions of F3 frame sync patterns in the channel bitstream."""
+    pat = np.array([int(c) for c in SYNC_PATTERN], np.uint8)
+    n = len(bits) - len(pat)
+    if n <= 0:
+        return np.zeros(0, np.int64)
+    # correlation == exact match when both are 0/1
+    w = np.lib.stride_tricks.sliding_window_view(bits, len(pat))[:n]
+    return np.nonzero((w == pat).all(axis=1))[0]
+
+
+def decode_f3_frame(bits: np.ndarray, start: int
+                    ) -> Optional[Tuple[int, np.ndarray]]:
+    """Decode one 588-channel-bit F3 frame starting at its sync position.
+
+    Returns (control_byte, 32 data bytes) with -1 for invalid EFM codes
+    (reference frame layout, cd-decoder.py:424-443).
+    """
+    if start + F3_CHANNEL_BITS > len(bits):
+        return None
+    f = bits[start:start + F3_CHANNEL_BITS]
+    pos = 24 + 3                       # skip sync + merging
+    words = []
+    for k in range(33):                # control byte + 32 payload bytes
+        w = f[pos:pos + 14]
+        val = int(w.dot(1 << np.arange(13, -1, -1)))
+        words.append(int(EFM_DECODE[val]))
+        pos += 14 + 3                  # merging bits between symbols
+    return words[0], np.array(words[1:], np.int16)
+
+
+def decode_frames(bits: np.ndarray):
+    """All decodable F3 frames: list of (sync_pos, control, payload)."""
+    out = []
+    for s in find_frame_syncs(bits):
+        r = decode_f3_frame(bits, int(s))
+        if r is not None:
+            out.append((int(s), r[0], r[1]))
+    return out
+
+
+def ecma130_scramble_sequence(nbytes: int = 2340) -> np.ndarray:
+    """ECMA-130 Annex B scrambler stream: LFSR x^15+x+1 seeded 0x0001,
+    LSB-first per byte (used to (de)scramble sector payloads; XOR is its
+    own inverse)."""
+    reg = 1
+    out = np.zeros(nbytes, np.uint8)
+    for i in range(nbytes):
+        byte = 0
+        for bit in range(8):
+            lsb = reg & 1
+            byte |= lsb << bit
+            fb = (reg ^ (reg >> 1)) & 1
+            reg = (reg >> 1) | (fb << 14)
+        out[i] = byte
+    return out
+
+
+def descramble_sector(payload: np.ndarray) -> np.ndarray:
+    seq = ecma130_scramble_sequence(len(payload))
+    return np.bitwise_xor(np.asarray(payload, np.uint8), seq)
+
+
+# ---------------------------------------------------------------------------
+# test-signal generation (the encoder the reference never had)
+
+def encode_f3_frame(control: int, payload: np.ndarray,
+                    rng=None) -> np.ndarray:
+    """Channel bits of one F3 frame (merging bits all zero)."""
+    bits = [int(c) for c in SYNC_PATTERN] + [0, 0, 0]
+    for byte in [control] + list(payload):
+        p = EFM_CODES[int(byte) & 0xFF]
+        bits += [(p >> k) & 1 for k in range(13, -1, -1)]
+        bits += [0, 0, 0]
+    return np.array(bits, np.uint8)
+
+
+def nrzi_waveform(bits: np.ndarray, sample_rate_hz: float,
+                  amplitude: float = 1.0) -> np.ndarray:
+    """NRZI-M: each 1 toggles the level; rendered at the capture rate."""
+    level = np.cumsum(bits) % 2
+    period = sample_rate_hz / EFM_CLOCK_HZ
+    edges = np.round(np.arange(len(bits) + 1) * period).astype(np.int64)
+    n = edges[-1]
+    wave = np.zeros(n, np.float64)
+    for i in range(len(bits)):
+        wave[edges[i]:edges[i + 1]] = 1.0 if level[i] else -1.0
+    return wave * amplitude
