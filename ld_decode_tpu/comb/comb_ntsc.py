@@ -8,9 +8,10 @@ TBC frames:
   * Split2D  (comb-ntsc.cxx:294-367)  — ±2-line comparison with adaptive
     similarity weights kp/kn (all elementwise; the reference's per-pixel
     branches become masks)
-  * Split3D  (comb-ntsc.cxx:369-412)  — ±1-frame temporal chroma with the
-    K-map motion gate (the non-OpenCV `-F` path; Farneback optical flow is
-    an OpenCV dependency the reference links but we do not reproduce yet)
+  * Split3D  (comb-ntsc.cxx:369-412)  — ±1-frame temporal chroma, gated
+    either by the K-map (`-F` path) or by Farneback optical flow on each
+    field's NR'd luma (comb-ntsc.cxx:600-662; cv2 on the host, the
+    confidence map feeds the device kernel)
   * SplitIQ  (comb-ntsc.cxx:414-483)  — blend by combk, demodulate at h%4
     with per-line phase flags from TBC line word 0
   * AdjustY  (comb-ntsc.cxx:735-763), FilterIQ (212-243; one-pole IIRs as
@@ -55,6 +56,8 @@ class CombConfig:
     wide: bool = False
     linesout: int = 480
     use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
+    opticalflow: bool = True   # dim 3: Farneback flow gating (reference
+                               # default; False = the K-map `-F` path)
 
     @property
     def firstline(self) -> int:
@@ -219,6 +222,16 @@ def split2d(clp0: jnp.ndarray, combk2: jnp.ndarray,
     return clp1, combk1, combk0
 
 
+def split3d_optflow(raw: jnp.ndarray, prev_raw: jnp.ndarray,
+                    combk2_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporal chroma for the optical-flow mode: clp2 = prev - cur with the
+    externally computed flow confidence map (comb-ntsc.cxx:394-395, 600-662).
+    """
+    clp2 = prev_raw - raw
+    mask = _row_mask(36, IN_Y) & _col_mask(4, 840)
+    return jnp.where(mask, clp2, 0.0), jnp.where(mask, combk2_in, 0.0)
+
+
 def split3d(raw: jnp.ndarray, prev_raw: jnp.ndarray, next_raw: jnp.ndarray,
             cfg: CombConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temporal chroma + K-map motion gate, no-opticalflow path
@@ -377,7 +390,57 @@ def to_rgb(y, i, q, raw, aburstlev, cfg: CombConfig):
     return jnp.clip(rgb, 0, 65535).astype(jnp.uint16), aburstlev
 
 
-def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig):
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def flow_luma(raw_u16, cfg: CombConfig):
+    """The NR'd adjusted luma the reference feeds Farneback
+    (comb-ntsc.cxx:852-857: SplitIQ -> AdjustY -> YNR/CNR with min 4)."""
+    raw = raw_u16.astype(jnp.float32)
+    invert_col = raw_u16[:, 0] == 16384
+    if cfg.phase_invert:
+        invert_col = ~invert_col
+    clp0 = split1d(raw)
+    z = jnp.zeros_like(raw)
+    clp1, k1, k0 = split2d(clp0, z, cfg.adaptive2d)
+    y, i, q = split_iq(raw, (z, clp1, clp0), (z, k1, k0), invert_col, cfg)
+    y, i, q = adjust_y(y, i, q, invert_col, cfg)
+    ycfg = CombConfig(dim=cfg.dim, nr_y=max(cfg.nr_y, 4.0),
+                      nr_c=max(cfg.nr_c, 4.0), linesout=cfg.linesout)
+    y = do_ynr(y, ycfg)
+    return y
+
+
+def farneback_combk2(y_now: np.ndarray, prev_pics: dict, flows: dict,
+                     fcount: int, p_3dcore: float = 0.0,
+                     p_3drange: float = 0.5) -> np.ndarray:
+    """Per-pixel 3D confidence from Farneback optical flow on each field's
+    luma (comb-ntsc.cxx:600-662).  Mutates prev_pics/flows carries."""
+    import cv2
+    cysize, cxsize = 252, IN_X - 70
+    combk2 = np.zeros((IN_Y, IN_X), np.float32)
+    cs = []
+    for field in range(2):
+        rows = np.clip(23 + field + 2 * np.arange(cysize), 0, IN_Y - 1)
+        pic = np.ascontiguousarray(
+            np.clip(y_now[rows, 70:70 + cxsize], 0, 65535)).astype(np.uint16)
+        if fcount:
+            flags = cv2.OPTFLOW_USE_INITIAL_FLOW if fcount > 1 else 0
+            flow = flows.get(field)
+            flow = cv2.calcOpticalFlowFarneback(
+                pic, prev_pics[field], flow, 0.5, 4, 60, 3, 7, 1.5, flags)
+            flows[field] = flow
+            mag = np.sqrt(flow[..., 1] ** 2 + (flow[..., 0] * 2) ** 2)
+            cs.append(1.0 - np.clip((mag - p_3dcore) / p_3drange, 0, 1))
+        prev_pics[field] = pic
+    if cs:
+        c = np.minimum(cs[0], cs[1])
+        rows = 2 * np.arange(cysize)
+        combk2[rows[:, None], 70 + np.arange(cxsize)[None, :]] = c
+        combk2[(rows + 1)[:, None], 70 + np.arange(cxsize)[None, :]] = c
+    return combk2
+
+
+def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
+                combk2_in=None):
     raw = raw_u16.astype(jnp.float32)
     invert_col = raw_u16[:, 0] == 16384
     if cfg.phase_invert:
@@ -399,7 +462,10 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig):
     clp0 = split1d(raw)
     if cfg.dim == 1:
         clp0 = split1d_filtered(raw, clp0, invert_col)
-    if cfg.dim >= 3:
+    if cfg.dim >= 3 and combk2_in is not None:
+        prev = prev_u16.astype(jnp.float32)
+        clp2, combk2 = split3d_optflow(raw, prev, combk2_in)
+    elif cfg.dim >= 3:
         prev = prev_u16.astype(jnp.float32)
         nxt = next_u16.astype(jnp.float32)
         clp2, combk2 = split3d(raw, prev, nxt, cfg)
@@ -444,6 +510,12 @@ def comb_frame(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig):
     return _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def comb_frame_of(raw_u16, newest_u16, combk2, aburstlev, cfg: CombConfig):
+    return _frame_core(raw_u16, newest_u16, newest_u16, aburstlev, cfg,
+                       combk2_in=combk2)
+
+
 class NTSCComb:
     """Stateful frame-at-a-time driver mirroring `Comb::Process`
     (comb-ntsc.cxx:834-938): 3-frame ring for dim 3, AGC carry, crop."""
@@ -453,6 +525,10 @@ class NTSCComb:
         self.ring = []
         self.aburstlev = jnp.float32(-1.0)
         self.framecount = 0
+        self._of_prev = {}
+        self._of_flows = {}
+        self._of_count = 0
+        self._of_combk2 = None
 
     def process(self, framebuf: np.ndarray) -> Optional[np.ndarray]:
         """framebuf: (525*910,) or (525,910) uint16.  Returns RGB48
@@ -463,14 +539,27 @@ class NTSCComb:
             self.ring.append(frame)
             if len(self.ring) > 3:
                 self.ring.pop(0)
+            if cfg.opticalflow and self.framecount >= 1:
+                # flow between the newest frame's NR'd luma and the
+                # previous one (comb-ntsc.cxx:852-858)
+                y_now = np.asarray(flow_luma(frame, cfg))
+                self._of_combk2 = farneback_combk2(
+                    y_now, self._of_prev, self._of_flows, self._of_count,
+                    cfg.p_3dcore, cfg.p_3drange)
+                self._of_count += 1
             if len(self.ring) < 3:
                 self.framecount += 1
                 return None
             nxt, cur, prv = self.ring[2], self.ring[1], self.ring[0]
             # ring order: Frame[0]=new, Frame[1]=mid, Frame[2]=old;
             # Split3D(f=1): p3=Frame[0] (newest), n3=Frame[2] (oldest)
-            rgb, self.aburstlev = comb_frame(cur, nxt, prv,
-                                             self.aburstlev, cfg)
+            if cfg.opticalflow:
+                rgb, self.aburstlev = comb_frame_of(
+                    cur, nxt, jnp.asarray(self._of_combk2),
+                    self.aburstlev, cfg)
+            else:
+                rgb, self.aburstlev = comb_frame(cur, nxt, prv,
+                                                 self.aburstlev, cfg)
         else:
             rgb, self.aburstlev = comb_frame(frame, frame, frame,
                                              self.aburstlev, cfg)

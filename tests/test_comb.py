@@ -92,7 +92,7 @@ def test_comb3d_parity(tbc_frames):
     while len(frames) < 4:
         frames.append(tbc_frames[-1])
     ref_frames = _run_oracle(frames, dim=3, extra=('-F',))
-    ours = NTSCComb(CombConfig(dim=3))
+    ours = NTSCComb(CombConfig(dim=3, opticalflow=False))
     got = []
     for f in frames:
         out = ours.process(f)
