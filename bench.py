@@ -10,6 +10,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -65,6 +66,8 @@ def main():
         first = False
         nframes += 1
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     if fr.prefetcher is not None:
         print(f'# prefetcher stats: {fr.prefetcher.stats}', file=sys.stderr)

@@ -23,7 +23,7 @@ class Framer:
     def __init__(self, cfg: DecoderConfig, bank: DemodBank,
                  loader: Callable = None, full_decode: bool = True,
                  nblocks: int = 66, capture: np.ndarray = None,
-                 batch: int = 1):
+                 batch: int = 1, despackle: bool = False):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
@@ -40,6 +40,7 @@ class Framer:
             self.capture_dev = jax.device_put(
                 np.asarray(capture, dtype=np.uint16))
         self.full_decode = full_decode
+        self.despackle = despackle
         self.decoder = FieldDecoder(cfg, bank, nblocks)
         if self.capture_dev is not None and batch > 1:
             from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
@@ -170,6 +171,14 @@ class Framer:
             conaudio = None
 
         combined = self.formatoutput(fields) if self.full_decode else None
+        if combined is not None and self.despackle:
+            # rot concealment post-pass (reference tbc.cpp:1528-1565)
+            from ld_decode_tpu.tbc.despackle import despackle as _dsp
+            scale = ((0xc800 - 0x0400) if cfg.system == 'NTSC'
+                     else (0xd300 - 0x0100)) / (100 - cfg.sys.vsync_ire)
+            off = 1024 if cfg.system == 'NTSC' else 256
+            combined = _dsp(combined, self.outwidth, scale, off,
+                            cfg.sys.vsync_ire)
         self.vbi = self.mergevbi(fields)
 
         if combined is not None:

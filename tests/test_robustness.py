@@ -96,3 +96,23 @@ def test_cli_decode_lds(cfg, tmp_path):
     assert len(pcm) > 3000
     # frame number encoded in line-0 metadata word 7
     assert ((int(tbc[14]) << 16) | int(tbc[15])) in (900, 901, 902)
+
+
+def test_despackle_conceals_rot(cfg):
+    from ld_decode_tpu.tbc.despackle import despackle
+    rng = np.random.default_rng(5)
+    pic = np.full((525, 910), 20000, np.uint16)
+    # on the .tbc scale u16 65535 is only ~136 IRE, so (like real rot,
+    # which clips to 0 at the 16-bit scale) only the low side triggers
+    pic[100, 200:204] = 5                # rot dropouts (<-20 IRE)
+    pic[300, 400] = 10
+    out = despackle(pic).reshape(525, 910)
+    assert abs(int(out[100, 201]) - 20000) < 4
+    assert abs(int(out[300, 400]) - 20000) < 4
+    # untouched elsewhere
+    assert out[250, 500] == 20000
+    # below line 22 never repaired
+    pic2 = np.full((525, 910), 20000, np.uint16)
+    pic2[10, 200] = 5
+    out2 = despackle(pic2).reshape(525, 910)
+    assert out2[10, 200] == 5
