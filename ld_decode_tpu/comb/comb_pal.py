@@ -1,0 +1,222 @@
+"""PAL comb-filter chroma decoder (2D) for our 1135x625 .tbc format.
+
+The reference's active tree defers PAL color to an external tool
+(reference comb-pal.README:1); its attic PAL comb
+(reference attic2/comb-pal.cxx) targets an older 1052x610 TBC geometry.
+This module ports that algorithm to the current pilot-locked 4xfsc grid:
+
+  * Split1D / adaptive Split2D as in the NTSC comb, but with the PAL
+    +-4-line chroma period (attic2/comb-pal.cxx:236-341)
+  * SplitUV demodulation at h%4 (the 4xfsc grid holds exactly 4 samples
+    per subcarrier cycle)
+  * per-line self-calibration from the swinging burst: the measured burst
+    angle rotates each line's (U,V) so burst sits at 135 deg, absorbing
+    the line-to-line subcarrier phase walk the pilot-locked grid leaves
+    behind (attic2/comb-pal.cxx:544-586)
+  * V-switch parity detected from the 4-line burst-angle pattern, then the
+    attic's flip rule; YUV -> RGB (attic2/comb-pal.cxx:561-648)
+
+Validated on synthetic PAL colorbars (known U/V per bar) since no
+compatible reference binary exists for this geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAL_Y, PAL_X = 625, 1135
+IRESCALE = 376.32            # (0xd300-0x0100)/(100+42.857): our PAL scale
+IREBASE = 256
+VSYNC_IRE = -0.3 * (100 / 0.7)
+
+
+@dataclass(frozen=True)
+class CombPALConfig:
+    dim: int = 2
+    bw: bool = False
+    adaptive2d: bool = True
+    nr_y: float = 1.0
+    brightness: float = 240.0
+    black_ire: float = 0.0
+    burst_cols: tuple = (20, 48)     # burst window after the hsync-end origin
+    linesout: int = 576
+    firstline: int = 24
+
+
+def _row_mask(lo, hi):
+    r = jnp.arange(PAL_Y)[:, None]
+    return (r >= lo) & (r < hi)
+
+
+def _col_mask(lo, hi):
+    c = jnp.arange(PAL_X)[None, :]
+    return (c >= lo) & (c < hi)
+
+
+def split1d_pal(raw):
+    rp = jnp.pad(raw, ((0, 0), (2, 2)))
+    tc1 = ((rp[:, 4:] + rp[:, :-4]) / 2) - raw
+    mask = _row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4)
+    return jnp.where(mask, tc1, 0.0)
+
+
+def split2d_pal(clp0, adaptive: bool):
+    """Adaptive 2D with the PAL +-4 line period
+    (attic2/comb-pal.cxx:283-341)."""
+    z = jnp.zeros_like(clp0)
+    p1 = jnp.concatenate([z[:4], clp0[:-4]], axis=0)
+    n1 = jnp.concatenate([clp0[4:], z[:4]], axis=0)
+    c1 = clp0
+
+    ac, ap, an = jnp.abs(c1), jnp.abs(p1), jnp.abs(n1)
+    sh = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+    kp = (jnp.abs(ac - ap) + jnp.abs(sh(ac) - sh(ap)) - (ac + sh(ac)) * .10) / 2
+    kn = (jnp.abs(ac - an) + jnp.abs(sh(ac) - sh(an)) - (ac + sh(an)) * .10) / 2
+    rng = 45 * IRESCALE
+    kp = jnp.clip(1 - kp / rng, 0, 1)
+    kn = jnp.clip(1 - kn / rng, 0, 1)
+    if not adaptive:
+        kp = jnp.ones_like(kp)
+        kn = jnp.ones_like(kn)
+    both0 = (kp == 0) & (kn == 0)
+    kp2 = jnp.where(kn > 3 * kp, 0.0, kp)
+    kn2 = jnp.where(kp > 3 * kn, 0.0, kn)
+    den = kn2 + kp2
+    sc = jnp.maximum(jnp.where(den > 0, 2.0 / jnp.where(den > 0, den, 1.0),
+                               1.0), 1.0)
+    fb = (jnp.abs(ap - an) - jnp.abs((n1 + p1) * .2)) <= 0
+    kp2 = jnp.where(both0, jnp.where(fb, 1.0, 0.0), kp2)
+    kn2 = jnp.where(both0, jnp.where(fb, 1.0, 0.0), kn2)
+    sc = jnp.where(both0, 1.0, sc)
+    tc = ((c1 - p1) * kp2 * sc + (c1 - n1) * kn2 * sc) / 4
+
+    inner = _row_mask(4, PAL_Y - 4) & _col_mask(18, PAL_X - 4)
+    clp1 = jnp.where(inner, tc, 0.0)
+    k1 = jnp.where(inner, 1.0, 0.0)
+    outer = _row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4)
+    k0 = jnp.where(outer & (k1 > 0), 0.0, 1.0)
+    k0 = jnp.where(outer, k0, jnp.where(_row_mask(24, PAL_Y), 1.0, 0.0))
+    return clp1, k1, k0
+
+
+def split_uv(raw, clps, ks):
+    """Demodulate the blended chroma at h%4 (attic2/comb-pal.cxx:398-452,
+    invertphase false for our flag-less PAL .tbc)."""
+    cavg = sum(c * k for c, k in zip(clps, ks)) / 2.0
+    cavg = -cavg
+    h = jnp.arange(PAL_X)[None, :]
+    phase = h % 4
+    su_v = jnp.where(phase == 0, cavg, jnp.where(phase == 2, -cavg, 0.0))
+    sv_v = jnp.where(phase == 1, -cavg, jnp.where(phase == 3, cavg, 0.0))
+    prev = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+    u = jnp.where((phase % 2) == 0, su_v, prev(su_v))
+    v = jnp.where((phase % 2) == 1, sv_v, prev(sv_v))
+    mask = _row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4)
+    return (jnp.where(mask, raw, 0.0), jnp.where(mask, u, 0.0),
+            jnp.where(mask, v, 0.0))
+
+
+def adjust_y_pal(y, u, v):
+    h = jnp.arange(PAL_X)[None, :]
+    phase = h % 4
+    shf = lambda x: jnp.pad(x, ((0, 0), (0, 2)))[:, 2:]
+    y2, u2, v2 = shf(y), shf(u), shf(v)
+    comp = jnp.where(phase == 0, u2,
+                     jnp.where(phase == 1, -v2,
+                               jnp.where(phase == 2, -u2, v2)))
+    comp = -comp
+    mask = _row_mask(24, PAL_Y) & _col_mask(2, PAL_X - 2)
+    return (jnp.where(mask, y2 + comp, y), jnp.where(mask, u2, u),
+            jnp.where(mask, v2, v))
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def comb_pal_frame(raw_u16, cfg: CombPALConfig):
+    """(linesout, 1135, 3) uint16 RGB + per-line burst angles (degrees)."""
+    raw = raw_u16.astype(jnp.float32)
+
+    clp0 = split1d_pal(raw)
+    if cfg.dim >= 2:
+        clp1, k1, k0 = split2d_pal(clp0, cfg.adaptive2d)
+    else:
+        clp1 = jnp.zeros_like(raw)
+        k1 = jnp.zeros_like(raw)
+        k0 = jnp.where(_row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4),
+                       1.0, 0.0)
+    y, u, v = split_uv(raw, (clp1, clp0), (k1, k0))
+    y, u, v = adjust_y_pal(y, u, v)
+    if cfg.bw:
+        u = jnp.zeros_like(u)
+        v = jnp.zeros_like(v)
+
+    # per-line burst angle from the demodulated swinging burst
+    b0, b1 = cfg.burst_cols
+    bu = jnp.sum(u[:, b0:b1], axis=1)
+    bv = jnp.sum(v[:, b0:b1], axis=1)
+    angle = jnp.degrees(jnp.arctan2(bv, bu))            # (625,)
+
+    # rotate each line so its burst lands at 135 deg: absorbs the
+    # line-to-line subcarrier phase walk of the pilot-locked grid
+    adj = jnp.radians(135.0 - angle)[:, None]
+    mag = jnp.sqrt(u * u + v * v)
+    th = jnp.arctan2(v, u) + adj
+    u2 = jnp.cos(th) * mag
+    v2 = jnp.sin(th) * mag
+
+    # PAL V-switch: the swung lines need the (u,v)->(-v,-u) reflection
+    # (attic2/comb-pal.cxx:625-636).  The switch alternates per transmitted
+    # line, which in the woven frame appears as one of four row patterns;
+    # the burst itself lies ON the reflection axis so it cannot pick the
+    # polarity — select the candidate maximizing vertical chroma
+    # correlation (correct flips make U/V fields smooth down the frame;
+    # wrong ones decorrelate same-field neighbors).
+    l = jnp.arange(PAL_Y)[:, None]
+    cols = slice(64, PAL_X - 16, 4)
+    best_score = jnp.float32(-jnp.inf)
+    uf = u2
+    vf = v2
+    for phase in range(2):
+        for pol in range(2):
+            flip = ((((l + phase) % 4) // 2) == pol)
+            uc = jnp.where(flip, -v2, u2)
+            vc = jnp.where(flip, -u2, v2)
+            us = uc[24:PAL_Y - 2:1, cols]
+            vs = vc[24:PAL_Y - 2:1, cols]
+            score = jnp.sum(us[:-2] * us[2:] + vs[:-2] * vs[2:])
+            take = score > best_score
+            best_score = jnp.where(take, score, best_score)
+            uf = jnp.where(take, uc, uf)
+            vf = jnp.where(take, vc, vf)
+
+    rows = slice(cfg.firstline, cfg.firstline + cfg.linesout)
+    yv = y[rows]
+    uv_ = uf[rows] / IRESCALE
+    vv_ = vf[rows] / IRESCALE
+
+    y_ire = jnp.where(yv == 0, -100.0,
+                      (yv - IREBASE) / IRESCALE + VSYNC_IRE)
+    y2 = (y_ire - cfg.black_ire) * (100.0 / (100.0 - cfg.black_ire))
+    r = y2 + 1.13983 * vv_
+    g = y2 - 0.58060 * vv_ - 0.39465 * uv_
+    b = y2 + 2.032 * uv_
+    m = cfg.brightness * 255 / 100
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1) * m, 0, 65535)
+    return rgb.astype(jnp.uint16), angle
+
+
+class PALComb:
+    """Frame-at-a-time driver for PAL .tbc frames (625*1135 uint16)."""
+
+    def __init__(self, cfg: CombPALConfig = CombPALConfig()):
+        self.cfg = cfg
+
+    def process(self, framebuf: np.ndarray) -> np.ndarray:
+        frame = jnp.asarray(np.asarray(framebuf).reshape(PAL_Y, PAL_X))
+        rgb, _ = comb_pal_frame(frame, self.cfg)
+        return np.asarray(rgb)

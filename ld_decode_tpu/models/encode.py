@@ -100,13 +100,31 @@ def _frame_pulse_schedule(frame_lines: int = 525) -> List[Tuple[float, str]]:
     return sched
 
 
+PAL_BARS_UV = [     # (luma IRE, U IRE, V IRE) per bar
+    (80.0, 0.0, 0.0), (60.0, 15.0, 0.0), (60.0, 0.0, 15.0),
+    (45.0, -12.0, 8.0), (45.0, 0.0, 0.0), (30.0, 10.0, -10.0),
+    (20.0, 0.0, 0.0),
+]
+
+
 def _active_pattern(spec: EncodeSpec, x: np.ndarray, line_in_field: int,
-                    t_abs_us: np.ndarray, fsc_mhz: float) -> np.ndarray:
+                    t_abs_us: np.ndarray, fsc_mhz: float,
+                    vswitch: float = 1.0) -> np.ndarray:
     """IRE values for the active-video portion of a line.
 
     x: position within active region in [0,1).  t_abs_us: absolute time of
-    each sample (for subcarrier-locked chroma).
+    each sample (for subcarrier-locked chroma).  vswitch: PAL V-component
+    sign for this line (+1/-1), ignored by the NTSC patterns.
     """
+    if spec.pattern == 'palbars':
+        idx = np.minimum((x * len(PAL_BARS_UV)).astype(np.int64),
+                         len(PAL_BARS_UV) - 1)
+        arr = np.array(PAL_BARS_UV)
+        y = arr[idx, 0]
+        u = arr[idx, 1]
+        v = arr[idx, 2] * vswitch
+        w = TAU * fsc_mhz * t_abs_us
+        return y + u * np.sin(w) + v * np.cos(w)
     if spec.pattern == 'flat50':
         return np.full_like(x, 50.0)
     if spec.pattern == 'ramp':
@@ -149,12 +167,13 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
         if i1 > i0:
             ire[i0:i1] = value
 
-    def paint_burst(t0_us, t1_us, amp):
+    def paint_burst(t0_us, t1_us, amp, phase_deg=0.0):
         i0, i1 = int(np.ceil(t0_us * fs)), int(np.ceil(t1_us * fs))
         i0, i1 = max(i0, 0), min(i1, n)
         if i1 > i0:
             t = np.arange(i0, i1) / fs
-            ire[i0:i1] += amp * np.sin(TAU * fsc * t)
+            ire[i0:i1] += amp * np.sin(TAU * fsc * t
+                                       + phase_deg * np.pi / 180.0)
 
     sched = _frame_pulse_schedule(sp.frame_lines)
     widths = {'hsync': hsync_w, 'eq': eq_w, 'broad': broad_w}
@@ -183,7 +202,14 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
             else:
                 fieldno, fline = 2, int(round(tH - half + 0.5))
 
-            paint_burst(t0 + burst_start, t0 + burst_end, spec.burst_ire)
+            # PAL swinging burst: +-135 degrees with the V switch
+            vswitch = 1.0
+            if sp.system == 'PAL':
+                vswitch = 1.0 if (int(round(tH * 2)) // 2) % 2 == 0 else -1.0
+                paint_burst(t0 + burst_start, t0 + burst_end, spec.burst_ire,
+                            135.0 if vswitch > 0 else -135.0)
+            else:
+                paint_burst(t0 + burst_start, t0 + burst_end, spec.burst_ire)
 
             # CAV picture numbers live on one field per frame (the CAV
             # pairing logic, lddecode_core.py:1273-1274, depends on this)
@@ -213,7 +239,8 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
                 if i1 > i0:
                     t_abs = np.arange(i0, i1) / fs
                     x = (t_abs - (t0 + active_start)) / (active_end - active_start)
-                    ire[i0:i1] = _active_pattern(spec, x, fline, t_abs, fsc)
+                    ire[i0:i1] = _active_pattern(spec, x, fline, t_abs, fsc,
+                                                 vswitch)
 
     if sp.system == 'PAL' and spec.pilot_hz > 0:
         # 3.75 MHz pilot over the whole line incl. sync (the reference's

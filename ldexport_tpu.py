@@ -37,20 +37,22 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.pal:
-        print('PAL comb is not implemented yet (the reference defers PAL '
-              'color to an external tool, comb-pal.README:1); '
-              'use -B for B&W export.', file=sys.stderr)
-        if not args.bw:
-            return 1
-
-    from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig, IN_X, IN_Y
     from ld_decode_tpu.audio.cx import CXExpander
 
-    comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw, wide=args.wide))
-    width = IN_X if args.wide else 744
-    height = 480
-    fps = '25' if args.pal else '30000/1001'
+    if args.pal:
+        from ld_decode_tpu.comb.comb_pal import PALComb, CombPALConfig, \
+            PAL_X, PAL_Y
+        comb = PALComb(CombPALConfig(dim=min(args.dim, 2), bw=args.bw))
+        IN_X, IN_Y = PAL_X, PAL_Y
+        width, height = PAL_X, 576
+        fps = '25'
+    else:
+        from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig, \
+            IN_X, IN_Y
+        comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw, wide=args.wide))
+        width = IN_X if args.wide else 744
+        height = 480
+        fps = '30000/1001'
 
     ffmpeg = shutil.which('ffmpeg')
     frame_bytes = IN_X * IN_Y * 2
