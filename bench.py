@@ -52,6 +52,9 @@ def main():
     print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
 
     # timed: continuous decode across the capture, restarting at the top
+    profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     reps = 16
     nframes = 0
     t0 = time.time()
