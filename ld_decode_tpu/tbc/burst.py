@@ -18,11 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=('hz_ire',))
-def burst_phase_offsets(scaled_burst: jnp.ndarray, hz_ire: float):
+@functools.partial(jax.jit, static_argnames=('hz_ire', 'win0'))
+def burst_phase_offsets(scaled_burst: jnp.ndarray, hz_ire: float,
+                        win0: int = 20):
     """Per-line burst phase estimates from the downscaled burst channel.
 
-    scaled_burst: (L, outwidth) resampled demod_burst lines.
+    scaled_burst: (L, W) resampled demod_burst lines; the 40-sample burst
+    window starts at column `win0`, whose absolute output-grid column must
+    be 20 (= 0 mod 4) so phases stay on the 4fsc grid — callers passing a
+    narrow resample starting at grid column 16 use win0=4.
     Returns (phase_even, phase_odd, burstlevel, level_ok, counts_ok):
       phase pair = the reference's per-line `phaseaverages` columns
       (group means after the odd/even 180-degree flip), burstlevel the
@@ -31,7 +35,7 @@ def burst_phase_offsets(scaled_burst: jnp.ndarray, hz_ire: float):
       (line keeps its level but contributes no phase).
     """
     L = scaled_burst.shape[0]
-    ba = scaled_burst[:, 20:60]
+    ba = scaled_burst[:, win0:win0 + 40]
     ba = ba - jnp.mean(ba, axis=1, keepdims=True)
     level = jnp.max(jnp.abs(ba), axis=1)
     std = jnp.std(ba, axis=1)

@@ -225,12 +225,15 @@ def _burst_refine(video, lli, llf, max_lc: int, lc, cfg: DecoderConfig):
     W = cfg.sys.outlinelen
     gaps = (lli[1:] - lli[:-1]).astype(jnp.float32) + (llf[1:] - llf[:-1])
     wow = (gaps[:max_lc] / inlinelen).astype(jnp.float32)
+    # only grid columns [16, 64) feed the phase estimator (burst window is
+    # 20:60); resampling the full W-wide line here costs ~40x more gather
     scaled = RS.downscale_lines_split(video['demod_burst'], lli, llf, W,
-                                      max_lc, wow)
+                                      max_lc, wow, col0=16, ncols=48)
 
     hz_ire = 1700000 / 140
     ph0, ph1, level, level_ok, counts_ok = B.burst_phase_offsets(scaled,
-                                                                 hz_ire)
+                                                                 hz_ire,
+                                                                 win0=4)
     inrow = jnp.arange(max_lc) < lc
     ok = level_ok & counts_ok & inrow
     pad = n - max_lc
@@ -283,17 +286,22 @@ def _burst_refine(video, lli, llf, max_lc: int, lc, cfg: DecoderConfig):
     return r_i, r_f, bl
 
 
-def _downscale_u16(video, lli, llf, max_lc: int, lc, burstlevel,
-                   cfg: DecoderConfig, colorlevel: float):
-    """(reference lddecode_core.py:789-812, 1135-1158)."""
-    sp = cfg.sys
-    W = sp.outlinelen
+def _picture_scaled_xla(video, lli, llf, max_lc: int, cfg: DecoderConfig):
+    """Wow-corrected picture resample, XLA gather path (single-field /
+    non-TPU); the batch path uses the Pallas kernel instead."""
+    W = cfg.sys.outlinelen
     lineoffset = 1 if cfg.system == 'NTSC' else 3
     ci = lli[lineoffset:]
     cf = llf[lineoffset:]
     gaps = (ci[1:] - ci[:-1]).astype(jnp.float32) + (cf[1:] - cf[:-1])
     wow = (gaps[:max_lc] / cfg.linelen).astype(jnp.float32)
-    out = RS.downscale_lines_split(video['demod'], ci, cf, W, max_lc, wow)
+    return RS.downscale_lines_split(video['demod'], ci, cf, W, max_lc, wow)
+
+
+def _scale_u16(out, max_lc: int, lc, burstlevel, cfg: DecoderConfig,
+               colorlevel: float):
+    """(reference lddecode_core.py:789-812, 1135-1158)."""
+    sp = cfg.sys
 
     reduced = (out - sp.ire0) / sp.hz_ire - sp.vsync_ire
     if cfg.system == 'NTSC':
@@ -408,15 +416,9 @@ def pad_linelocs(linelocs1: np.ndarray, linebad: np.ndarray, nmax: int,
     return ll, bad
 
 
-def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
-                      bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
-                      colorlevel: float = 1.45, colorphase: float = 91.5):
-    """Refinement + output generation; returns one packed uint16 buffer.
-
-    Line locations travel in split (int32, float32) form; arrays are padded
-    to max_nlines(cfg) and the true field line count `lc` is traced, so one
-    compiled graph serves both 262- and 263-line fields and the whole
-    function vmaps over a batch of fields."""
+def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
+                   colorphase: float):
+    """hsync + burst/pilot refinement -> final split line locations."""
     max_lc = max_linecount(cfg)
     ll2i, ll2f, bad = _hsync_refine(video, ll1i, ll1f, linebad, lc, cfg)
 
@@ -432,10 +434,17 @@ def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
             video['demod'], video['demod_05'], ll2i, ll2f,
             cfg.linelen, cfg.freq_mhz)
         burstlevel = jnp.zeros_like(ll2f)
+    return lli, llf, burstlevel
 
-    picture = _downscale_u16(video, lli, llf, max_lc, lc,
-                             burstlevel if cfg.system == 'NTSC' else None,
-                             cfg, colorlevel)
+
+def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
+                   bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
+                   colorlevel: float, burstlevel):
+    """Output generation from refined line locations + resampled picture."""
+    max_lc = max_linecount(cfg)
+    picture = _scale_u16(scaled, max_lc, lc,
+                         burstlevel if cfg.system == 'NTSC' else None,
+                         cfg, colorlevel)
 
     # audio: stage 2 + chase resample
     if audio1 is not None:
@@ -473,6 +482,22 @@ def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
     ])
 
 
+def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
+                      bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
+                      colorlevel: float = 1.45, colorphase: float = 91.5):
+    """Refinement + output generation; returns one packed uint16 buffer.
+
+    Line locations travel in split (int32, float32) form; arrays are padded
+    to max_nlines(cfg) and the true field line count `lc` is traced, so one
+    compiled graph serves both 262- and 263-line fields and the whole
+    function vmaps over a batch of fields."""
+    lli, llf, burstlevel = _finish_refine(video, ll1i, ll1f, linebad, lc,
+                                          cfg, colorphase)
+    scaled = _picture_scaled_xla(video, lli, llf, max_linecount(cfg), cfg)
+    return _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
+                          bank, cfg, n_audio1, colorlevel, burstlevel)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_audio1', 'colorlevel',
                                              'colorphase'))
 def field_finish(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
@@ -484,14 +509,39 @@ def field_finish(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_audio1', 'colorlevel',
-                                             'colorphase'))
+                                             'colorphase', 'pallas'))
 def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
                        bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
-                       colorlevel: float = 1.45, colorphase: float = 91.5):
-    """vmap of field_finish_core over a leading batch-of-fields axis."""
-    fn = lambda v, a, i_, f_, b_, l_, o_: field_finish_core(
-        v, a, i_, f_, b_, l_, o_, bank, cfg, n_audio1,
-        colorlevel, colorphase)
-    out = jax.vmap(fn)(video, audio1, ll1i, ll1f, linebad, lc, audio_offset)
-    # 2-D device->host transfers hang on the axon tunnel; ship flat
+                       colorlevel: float = 1.45, colorphase: float = 91.5,
+                       pallas: bool = False):
+    """Batched finish over a leading batch-of-fields axis.
+
+    With pallas=True (TPU) the hot picture resample runs once for the
+    whole batch in the Pallas kernel (tbc/pallas_resample.py) between two
+    vmapped stages; otherwise everything is one vmapped XLA graph."""
+    if not pallas:
+        fn = lambda v, a, i_, f_, b_, l_, o_: field_finish_core(
+            v, a, i_, f_, b_, l_, o_, bank, cfg, n_audio1,
+            colorlevel, colorphase)
+        out = jax.vmap(fn)(video, audio1, ll1i, ll1f, linebad, lc,
+                           audio_offset)
+        # 2-D device->host transfers hang on the axon tunnel; ship flat
+        return out.reshape(-1)
+
+    from ld_decode_tpu.tbc.pallas_resample import resample_lines_batch
+
+    refine = lambda v, i_, f_, b_, l_: _finish_refine(
+        v, i_, f_, b_, l_, cfg, colorphase)
+    lli, llf, burstlevel = jax.vmap(refine)(video, ll1i, ll1f, linebad, lc)
+
+    lineoffset = 1 if cfg.system == 'NTSC' else 3
+    max_lc = max_linecount(cfg)
+    scaled = resample_lines_batch(
+        video['demod'], lli[:, lineoffset:], llf[:, lineoffset:],
+        cfg.sys.outlinelen, max_lc, float(cfg.linelen))
+
+    outfn = lambda v, a, i_, f_, s_, l_, o_, bl_: _finish_output(
+        v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, colorlevel, bl_)
+    out = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
+                          audio_offset, burstlevel)
     return out.reshape(-1)

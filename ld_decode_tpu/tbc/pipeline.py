@@ -271,11 +271,13 @@ class FieldPrefetcher:
 
         n_audio1 = dec.nblocks * dec.bank.a_stage1_keep \
             if audioB is not None else 0
+        import jax
         bundles = FU.field_finish_batch(
             videoB, audioB, jnp.asarray(ll1i), jnp.asarray(ll1f),
             jnp.asarray(badB), jnp.asarray(lcB), jnp.asarray(offB),
             dec.bank, cfg, n_audio1,
-            colorlevel=dec.colorlevel, colorphase=dec.colorphase)
+            colorlevel=dec.colorlevel, colorphase=dec.colorphase,
+            pallas=jax.default_backend() == 'tpu')
         _t2 = _time.perf_counter()
         bun_all = np.asarray(bundles).reshape(B, -1)
         _t3 = _time.perf_counter()

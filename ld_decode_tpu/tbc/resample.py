@@ -74,21 +74,30 @@ def downscale_lines(data: jnp.ndarray, lineinfo: jnp.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=('outwidth', 'nlines'))
+@functools.partial(jax.jit, static_argnames=('outwidth', 'nlines', 'col0',
+                                             'ncols'))
 def downscale_lines_split(data: jnp.ndarray, lli: jnp.ndarray,
                           llf: jnp.ndarray, outwidth: int, nlines: int,
-                          wow_scale: Optional[jnp.ndarray] = None
+                          wow_scale: Optional[jnp.ndarray] = None,
+                          col0: int = 0, ncols: Optional[int] = None
                           ) -> jnp.ndarray:
     """downscale_lines with (int32 anchor, float32 offset) line locations.
 
     float32 absolute positions only resolve 1/16 sample at ~1e6; splitting
     keeps sub-sample precision (chroma phase needs ~1e-3 samples).
+
+    col0/ncols restrict output to columns [col0, col0+ncols) of the
+    nominal `outwidth` grid (positions are identical to slicing the full
+    resample) — the burst refiner only reads a 48-column window, and the
+    full-width gather would dominate the whole finish phase.
     """
     si = lli[:nlines]
     sf = llf[:nlines]
     steplen = (lli[1:nlines + 1] - si).astype(jnp.float32) \
         + (llf[1:nlines + 1] - sf)
-    k = jnp.arange(outwidth, dtype=jnp.float32)
+    if ncols is None:
+        ncols = outwidth
+    k = jnp.arange(col0, col0 + ncols, dtype=jnp.float32)
     rel = sf[:, None] + steplen[:, None] * (k[None, :] / outwidth)
     relf = jnp.floor(rel)
     i0 = si[:, None] + relf.astype(jnp.int32)
