@@ -29,7 +29,7 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    nframes_cap = 16
+    nframes_cap = 32
     samples = E.encode_frames(cfg, nframes_cap,
                               E.EncodeSpec(pattern='ramp',
                                            cav_start_frame=900))
@@ -38,9 +38,10 @@ def main():
     samples_per_frame = cfg.freq_hz / cfg.sys.fps
     start = 33046
 
-    # warmup: compiles every kernel variant; capture stays device-resident
-    # (speculative field batches: two round trips per batch)
-    fr = FR.Framer(cfg, bank, capture=samples, batch=8)
+    # warmup: compiles every kernel variant; capture stays device-resident.
+    # 52-block windows (~797k samples) still cover the next field's vsync
+    # (the reference reads 1M for the same purpose) with 21% less demod.
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
     t0 = time.time()
     f0, rs0, _ = fr.readfield(None, start)
     assert f0 is not None, 'warmup field failed'
@@ -55,7 +56,7 @@ def main():
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    reps = 16
+    reps = 40
     nframes = 0
     t0 = time.time()
     sample = start

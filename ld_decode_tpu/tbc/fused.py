@@ -129,14 +129,15 @@ def _analyze_core(capture: jnp.ndarray, start: jnp.ndarray, bank: DemodBank,
 
     idx, val = S.find_sync_peaks(video['demod_sync'],
                                  int(cfg.linelen * 0.4))
-    packed = pack_bundle([idx.astype(jnp.int32), val.astype(jnp.float32)])
-    return video, audio, packed
+    return video, audio, idx.astype(jnp.int32), val.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
 def field_analyze(capture, start, bank: DemodBank, cfg: DecoderConfig,
                   nblocks: int, mtf_level):
-    return _analyze_core(capture, start, bank, cfg, nblocks, mtf_level)
+    video, audio, idx, val = _analyze_core(capture, start, bank, cfg,
+                                           nblocks, mtf_level)
+    return video, audio, pack_bundle([idx, val])
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'nblocks'))
@@ -145,7 +146,8 @@ def field_analyze_batch(capture, starts, bank: DemodBank, cfg: DecoderConfig,
     """vmap of the analyze phase over a batch of window starts; the
     capture and filter bank are broadcast."""
     fn = lambda s: _analyze_core(capture, s, bank, cfg, nblocks, mtf_level)
-    video, audio, packed = jax.vmap(fn)(starts)
+    video, audio, idx, val = jax.vmap(fn)(starts)
+    packed = jax.vmap(lambda i, v: pack_bundle([i, v]))(idx, val)
     return video, audio, packed.reshape(-1)
 
 
@@ -545,3 +547,124 @@ def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
     out = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                           audio_offset, burstlevel)
     return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused batch pipeline: analyze + vsync/linelocs + finish in ONE call
+
+def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
+    """finish bundle + per-field meta (valid/istop/lc/nfo/npeaks/nvsyncs/
+    readsample int32 words, then the audio offset this field consumed)."""
+    base = finish_bundle_spec(cfg)
+    return BundleSpec(base.fields + [
+        ('meta_i', (7,), np.int32),
+        ('meta_f', (1,), np.float32),
+    ])
+
+
+def _audio_offset_chain(offset0, lcs, cfg: DecoderConfig):
+    """Chained 48 kHz resampler carry offsets across the batch, with the
+    exact float32 op order of `_downscale_audio_dev` (a mismatched count
+    would shift an audio tick)."""
+    maxt = audio_maxt(cfg)
+    lp = cfg.sys.line_period
+
+    def step(off, lcb):
+        frametime = (lp * lcb.astype(jnp.float32)) / 1e6
+        gap = 1.0 / 48000.0
+        count = jnp.ceil((frametime + gap - off) / gap).astype(jnp.int32)
+        count = jnp.clip(count, 1, maxt)
+        nxt = (off + (count - 1) * gap - frametime).astype(jnp.float32)
+        return nxt, off
+
+    final, offs = jax.lax.scan(step, jnp.asarray(offset0, jnp.float32), lcs)
+    return offs, final
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
+                                             'batch', 'field_pitch',
+                                             'colorlevel', 'colorphase',
+                                             'pallas'))
+def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
+                         bank: DemodBank, cfg: DecoderConfig, nblocks: int,
+                         n_audio1: int, batch: int, field_pitch: int,
+                         colorlevel: float = 1.45,
+                         colorphase: float = 91.5, pallas: bool = False):
+    """The whole speculative field batch as ONE jitted call + ONE D2H.
+
+    Demod + sync peaks, device-side vsync voting and line numbering
+    (tbc/sync_dev.py), hsync/burst refinement, picture/audio downscale and
+    VBI windows, per-field validity + nextfieldoffset meta — the host only
+    unpacks the returned buffer.
+
+    `start0`/`audio_offset0` are device scalars and the chained
+    (next_start0, next_offset0) come back as device scalars, so
+    consecutive speculative batches chain device-to-device: the prefetcher
+    keeps two in flight and the ~25 ms tunnel transfer of batch k overlaps
+    the compute of batch k+1 with no host synchronization between them."""
+    from ld_decode_tpu.tbc import sync_dev as SD
+
+    n_stream = D.stream_len(cfg, nblocks)
+    smax = capture.shape[0] - n_stream + cfg.blockcut
+    starts = jnp.clip(
+        jnp.asarray(start0, jnp.int32)
+        + jnp.arange(batch, dtype=jnp.int32) * field_pitch,
+        cfg.blockcut, smax)
+
+    fn = lambda s: _analyze_core(capture, s, bank, cfg, nblocks, mtf_level)
+    video, audio1, pidx, pval = jax.vmap(fn)(starts)
+
+    P = pidx.shape[1]
+    nv = jnp.sum(pidx >= 0, axis=1).astype(jnp.int32)
+    is_pal = cfg.system == 'PAL'
+    R = max_nlines(cfg)
+    field_lines = cfg.sys.frame_lines // 2
+
+    vsd = jax.vmap(lambda p, v, n: SD.determine_vsyncs_dev(
+        p, v, n, cfg.linelen, is_pal))(pidx, pval, nv)
+
+    istop = vsd.istop[:, 0]
+    lc = (field_lines + istop.astype(jnp.int32)).astype(jnp.int32)
+    line0_1 = vsd.line0[:, 1]
+    valid_vs = (vsd.count >= 2) & (nv >= line0_1 + 4)
+
+    lld = jax.vmap(lambda p, v, n, m, t, a, b_, l_: SD.compute_linelocs_dev(
+        p, v, n, m, t, a, b_, l_, cfg.linelen, R))(
+        pidx, pval, nv, vsd.med, vsd.tol, vsd.line0[:, 0], line0_1, lc)
+    valid = valid_vs & lld.ok
+
+    bidx = jnp.arange(starts.shape[0])
+    nfo = pidx[bidx, jnp.clip(line0_1 - 10, 0, P - 1)]
+
+    offs_used, next_offset0 = _audio_offset_chain(audio_offset0, lc, cfg)
+    next_start0 = starts[-1] + nfo[-1]
+
+    # refinement + outputs (same stages as field_finish_batch)
+    refine = lambda v, i_, f_, b_, l_: _finish_refine(
+        v, i_, f_, b_, l_, cfg, colorphase)
+    lli, llf, burstlevel = jax.vmap(refine)(video, lld.lli, lld.llf,
+                                            lld.bad, lc)
+
+    lineoffset = 1 if cfg.system == 'NTSC' else 3
+    max_lc = max_linecount(cfg)
+    if pallas:
+        from ld_decode_tpu.tbc.pallas_resample import resample_lines_batch
+        scaled = resample_lines_batch(
+            video['demod'], lli[:, lineoffset:], llf[:, lineoffset:],
+            cfg.sys.outlinelen, max_lc, float(cfg.linelen))
+    else:
+        scaled = jax.vmap(lambda v, i_, f_: _picture_scaled_xla(
+            v, i_, f_, max_lc, cfg))(video, lli, llf)
+
+    outfn = lambda v, a, i_, f_, s_, l_, o_, bl_: _finish_output(
+        v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, colorlevel, bl_)
+    out = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
+                          offs_used, burstlevel)
+
+    meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
+                        lc, nfo, nv, vsd.count, starts], axis=1)
+    meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
+        meta_i, offs_used)
+    bundle = jnp.concatenate([out.reshape(starts.shape[0], -1), meta],
+                             axis=1).reshape(-1)
+    return bundle, next_start0, next_offset0
