@@ -89,7 +89,9 @@ def install_array_loader():
     return core
 
 
-def make_rf(system='NTSC', blocklen=16384, decode_analog_audio=True):
+def make_rf(system='NTSC', blocklen=16384, decode_analog_audio=True,
+            inputfreq=40):
     core = load_reference()
-    return core.RFDecode(inputfreq=40, system=system, blocklen_=blocklen,
+    return core.RFDecode(inputfreq=inputfreq, system=system,
+                         blocklen_=blocklen,
                          decode_analog_audio=decode_analog_audio)

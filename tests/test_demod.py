@@ -122,3 +122,30 @@ def test_demod_stream_float32_close(ntsc_cfg):
     err = np.abs(np.asarray(v64['demod'], np.float64)
                  - np.asarray(v32['demod'], np.float64)) / hz_ire
     assert np.percentile(err, 99.9) < 0.2, err.max()
+
+
+@pytest.mark.parametrize('freq', [28.8, 32.0])
+def test_demodblock_alternate_rates_parity(freq):
+    """cxADC 28.8 MSa/s (8-bit) and Domesday Duplicator 32 MSa/s capture
+    rates (reference lddecode.py:53-58, app/tbc modes -c / 16-bit)."""
+    cfg = DecoderConfig(system='NTSC', freq_mhz=freq)
+    rf = oracle.make_rf('NTSC', inputfreq=freq)
+    data = _synth(cfg)[:cfg.blocklen]
+
+    rv_video, rv_audio = rf.demodblock(data, mtf_level=0.5)
+
+    bank = _bank64(cfg)
+    R_os = jnp.fft.rfft(jnp.asarray(data, dtype=jnp.float64)[None, :])
+    ours = D.demod_video_rfft(R_os, bank, cfg, jnp.float64(0.5),
+                              rdtype=jnp.float64)
+    for tap in ['demod', 'demod_05', 'demod_burst']:
+        np.testing.assert_allclose(np.asarray(ours[tap][0]),
+                                   rv_video[tap], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours['demod_sync'][0]),
+                               rv_video['demod_sync'], atol=1e-6)
+
+    oursa = D.demod_audio_rfft(R_os, bank, rdtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(oursa['audio_left'][0]),
+                               rv_audio['audio_left'], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(oursa['audio_right'][0]),
+                               rv_audio['audio_right'], atol=1e-3)

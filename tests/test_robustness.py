@@ -116,3 +116,32 @@ def test_despackle_conceals_rot(cfg):
     pic2[10, 200] = 5
     out2 = despackle(pic2).reshape(525, 910)
     assert out2[10, 200] == 5
+
+
+def test_cxadc_rate_field_decode():
+    """End-to-end field decode at the cxADC 28.8 MSa/s capture rate
+    (reference lddecode.py:55 '.r30'/8-bit path, tbc.cpp:166-169)."""
+    import jax.numpy as jnp
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    from ld_decode_tpu.ops import filters as F
+    from ld_decode_tpu.tbc.framer import Framer
+
+    c = DecoderConfig(system='NTSC', freq_mhz=28.8)
+    samples = E.encode_frames(c, 3, E.EncodeSpec(pattern='flat50',
+                                                 cav_start_frame=7))
+    bank = F.make_demod_bank(c, dtype=np.complex64)
+    fr = Framer(c, bank, capture=samples, batch=4, nblocks=50)
+    f0, rs0, _ = fr.readfield(None, 20000)
+    assert f0 is not None and f0.valid
+    frame, audio, nxt, fields = fr.readframe(None, rs0, True)
+    assert frame is not None
+    assert fields[0].linecount in (c.sys.frame_lines // 2,
+                                   c.sys.frame_lines // 2 + 1)
+    # flat-50 pattern: active picture sits at the 50-IRE output level
+    W = c.sys.outlinelen
+    pic = frame.reshape(-1, W)
+    mid = pic[60:200, W // 4:W // 2].astype(np.float64)
+    out_scale = float(0xc800 - 0x0400) / (100 - c.sys.vsync_ire)
+    ire = (mid - 1024) / out_scale + c.sys.vsync_ire
+    assert abs(np.median(ire) - 50.0) < 1.5, np.median(ire)
