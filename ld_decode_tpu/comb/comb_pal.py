@@ -47,6 +47,8 @@ class CombPALConfig:
     burst_cols: tuple = (20, 48)     # burst window after the hsync-end origin
     linesout: int = 576
     firstline: int = 24
+    p_3dcore: float = 1.25           # 3D motion gate (IRE), as NTSC defaults
+    p_3drange: float = 5.5
 
 
 def _row_mask(lo, hi):
@@ -105,6 +107,43 @@ def split2d_pal(clp0, adaptive: bool):
     return clp1, k1, k0
 
 
+def split3d_pal(raw, prev_raw, next_raw, cfg: 'CombPALConfig'):
+    """Temporal (3D) chroma + motion gate for PAL
+    (attic2/comb-pal.cxx:355-397, corrected for the PAL frame phase).
+
+    On the 4xfsc grid the PAL subcarrier walks 270 deg per frame (fsc x
+    40 ms = 177344.75 cycles), and the 625-line frame flips the V-switch
+    parity, so (prev+next)/2 cancels the neighbors' chroma entirely
+    (rotations +-270 sum to 2*cos(270)*I = 0) and the difference from the
+    current frame isolates -C.  The 1D/2D estimates carry -2C on this
+    grid, hence the x2 blend scale.
+
+    The attic's motion detector |prev-next| is wrong for PAL: prev and
+    next are 540 deg = antiphase in chroma, so static color reads as
+    motion.  We instead cancel chroma in the frame difference with the
+    +-2-sample (antiphase) average and gate on the remaining luma motion,
+    smoothed by the same fir1(16,0.1) the reference uses.
+    """
+    from ld_decode_tpu.comb.comb_ntsc import FILTERS
+
+    clp2 = (((prev_raw + next_raw) / 2.0) - raw) * 2.0
+
+    d = prev_raw - next_raw
+    dp = jnp.pad(d, ((0, 0), (2, 2)))
+    luma_d = jnp.abs((dp[:, :-4] + 2.0 * d + dp[:, 4:]) * 0.25) * 2.0
+    luma_d = jnp.where(_col_mask(4, PAL_X), luma_d, 0.0)
+    bj = jnp.asarray(FILTERS['lp3d'], luma_d.dtype)
+    k = jax.vmap(lambda row: jnp.convolve(row, bj, mode='full')[:PAL_X])(
+        luma_d)
+    k = jnp.roll(k, -8, axis=1)                  # remove the FIR group delay
+
+    core = cfg.p_3dcore * IRESCALE
+    rng = cfg.p_3drange * IRESCALE
+    combk2 = jnp.clip(1 - ((k - core) / rng), 0, 1)
+    mask = _row_mask(24, PAL_Y) & _col_mask(12, PAL_X - 12)
+    return jnp.where(mask, clp2, 0.0), jnp.where(mask, combk2, 0.0)
+
+
 def split_uv(raw, clps, ks):
     """Demodulate the blended chroma at h%4 (attic2/comb-pal.cxx:398-452,
     invertphase false for our flag-less PAL .tbc)."""
@@ -137,7 +176,7 @@ def adjust_y_pal(y, u, v):
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
-def comb_pal_frame(raw_u16, cfg: CombPALConfig):
+def comb_pal_frame(raw_u16, cfg: CombPALConfig, prev_u16=None, next_u16=None):
     """(linesout, 1135, 3) uint16 RGB + per-line burst angles (degrees)."""
     raw = raw_u16.astype(jnp.float32)
 
@@ -149,7 +188,18 @@ def comb_pal_frame(raw_u16, cfg: CombPALConfig):
         k1 = jnp.zeros_like(raw)
         k0 = jnp.where(_row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4),
                        1.0, 0.0)
-    y, u, v = split_uv(raw, (clp1, clp0), (k1, k0))
+    if cfg.dim >= 3 and prev_u16 is not None and next_u16 is not None:
+        clp2, k2 = split3d_pal(raw, prev_u16.astype(jnp.float32),
+                               next_u16.astype(jnp.float32), cfg)
+        # blend (attic2/comb-pal.cxx:344-351): 2D yields to 3D, 1D takes
+        # whatever remains
+        k1 = k1 * (1 - k2)
+        base = jnp.where(_row_mask(24, PAL_Y) & _col_mask(4, PAL_X - 4),
+                         1.0, 0.0)
+        k0 = jnp.clip(base - k2 - k1, 0.0, 1.0)
+        y, u, v = split_uv(raw, (clp2, clp1, clp0), (k2, k1, k0))
+    else:
+        y, u, v = split_uv(raw, (clp1, clp0), (k1, k0))
     y, u, v = adjust_y_pal(y, u, v)
     if cfg.bw:
         u = jnp.zeros_like(u)
@@ -211,12 +261,26 @@ def comb_pal_frame(raw_u16, cfg: CombPALConfig):
 
 
 class PALComb:
-    """Frame-at-a-time driver for PAL .tbc frames (625*1135 uint16)."""
+    """Frame-at-a-time driver for PAL .tbc frames (625*1135 uint16).
+
+    With dim=3 a 3-frame ring is kept (like the NTSC comb / reference
+    comb-ntsc.cxx:163-177): frame k's RGB is produced when frame k+1
+    arrives; the first/last frames fall back to 2D."""
 
     def __init__(self, cfg: CombPALConfig = CombPALConfig()):
         self.cfg = cfg
+        self._ring: list = []
 
     def process(self, framebuf: np.ndarray) -> np.ndarray:
         frame = jnp.asarray(np.asarray(framebuf).reshape(PAL_Y, PAL_X))
-        rgb, _ = comb_pal_frame(frame, self.cfg)
+        if self.cfg.dim < 3:
+            rgb, _ = comb_pal_frame(frame, self.cfg)
+            return np.asarray(rgb)
+        self._ring.append(frame)
+        if len(self._ring) > 3:
+            self._ring.pop(0)
+        if len(self._ring) < 3:
+            return None                  # warmup, like the NTSC driver
+        prev, cur, nxt = self._ring
+        rgb, _ = comb_pal_frame(cur, self.cfg, prev, nxt)
         return np.asarray(rgb)

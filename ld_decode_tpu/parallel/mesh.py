@@ -107,3 +107,50 @@ def build_sharded_demod(cfg: DecoderConfig, bank: DemodBank, mesh: Mesh,
         in_specs=(P('dp', 'sp'), P()),
         out_specs=(P('dp', 'sp'), P('dp', None), P('dp', None)))
     return jax.jit(fn)
+
+
+def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
+    """Jitted multi-chip 3D comb: frames sharded over 'dp', the +-1-frame
+    temporal references exchanged as single-frame `ppermute` halos over ICI
+    (SURVEY §2.4 axis 3: the 3-frame ring of comb-ntsc.cxx:163-177,841-845
+    becomes a neighbor exchange).
+
+    Input:  (nframes, 525, 910) uint16 .tbc frames, sharded P('dp',).
+    Output: (nframes, linesout, W, 3) uint16 RGB, same sharding.
+
+    The halo is circular, so the globally-first/last frames see wrapped
+    neighbors (they are warmup frames in the reference too).  The burst
+    AGC seeds per frame (aburstlev=-1) instead of carrying the reference's
+    cross-frame EMA — a documented deviation that keeps frames
+    embarrassingly parallel; the EMA adapts within one frame anyway.
+    """
+    from ld_decode_tpu.comb.comb_ntsc import comb_frame
+
+    n_dp = mesh.shape['dp'] * mesh.shape['sp']
+    assert nframes % n_dp == 0
+
+    # flatten the mesh to one frame axis for this stage
+    devs = np.asarray(mesh.devices).reshape(-1)
+    fmesh = Mesh(devs, ('f',))
+
+    def local_step(frames):
+        # frames: (F_l, 525, 910) local consecutive frames
+        nf = jax.lax.psum(1, 'f')
+        fwd = [(i, (i + 1) % nf) for i in range(nf)]
+        bwd = [(i, (i - 1) % nf) for i in range(nf)]
+        # previous shard's last frame / next shard's first frame
+        prev_halo = jax.lax.ppermute(frames[-1], 'f', fwd)
+        next_halo = jax.lax.ppermute(frames[0], 'f', bwd)
+        prevs = jnp.concatenate([prev_halo[None], frames[:-1]], axis=0)
+        nexts = jnp.concatenate([frames[1:], next_halo[None]], axis=0)
+
+        def one(cur, prv, nxt):
+            # Split3D(f=1): p3line = newer frame, n3line = older frame
+            rgb, _lev = comb_frame(cur, nxt, prv, jnp.float32(-1.0),
+                                   comb_cfg)
+            return rgb
+        return jax.vmap(one)(frames, prevs, nexts)
+
+    fn = _shard_map(local_step, fmesh,
+                    in_specs=(P('f'),), out_specs=P('f'))
+    return jax.jit(fn), fmesh

@@ -73,3 +73,55 @@ def test_pal_comb_line_stability(pal_frame):
     even, odd = per_row[0::2].mean(), per_row[1::2].mean()
     assert np.sign(even) == np.sign(odd)
     assert abs(even - odd) < 0.4 * abs(per_row.mean()), (even, odd)
+
+
+@pytest.fixture(scope='module')
+def pal_frames3():
+    cfg = DecoderConfig(system='PAL', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 5, E.EncodeSpec(pattern='palbars',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr = FR.Framer(cfg, bank, capture=samples)
+    frames = []
+    rv = fr.readframe(None, START, True)
+    for _ in range(3):
+        assert rv[0] is not None
+        frames.append(np.asarray(rv[0], np.uint16))
+        rv = fr.readframe(None, rv[2], False)
+    return frames
+
+
+def test_pal_comb_3d_static_hues(pal_frames3):
+    """On a static scene the 3D temporal estimate must dominate (k2 ~ 1)
+    and reproduce the same colorbar hues as 2D."""
+    comb = PALComb(CombPALConfig(dim=3))
+    out = [comb.process(f) for f in pal_frames3]
+    assert out[0] is None and out[1] is None
+    rgb = out[2]
+    assert rgb.shape == (576, PAL_X, 3)
+    bars = _bar_means(rgb)
+    assert bars[0].mean() > bars[4].mean() > bars[6].mean()
+    r1, g1, b1 = bars[1]
+    assert b1 - r1 > 0.2 * bars[1].mean(), bars[1]
+    r2, g2, b2 = bars[2]
+    assert r2 - b2 > 0.15 * bars[2].mean(), bars[2]
+
+
+def test_pal_comb_3d_motion_gate(pal_frames3):
+    """A luma step between frames must drive the 3D confidence to ~0 in the
+    moved region (falls back to 2D), staying high in static regions."""
+    import jax.numpy as jnp
+    from ld_decode_tpu.comb.comb_pal import split3d_pal
+
+    cur = jnp.asarray(pal_frames3[1].reshape(625, PAL_X)).astype(jnp.float32)
+    prev = jnp.asarray(pal_frames3[0].reshape(625, PAL_X)).astype(jnp.float32)
+    nxt = np.asarray(pal_frames3[2].reshape(625, PAL_X)).astype(np.float32)
+    nxt2 = nxt.copy()
+    nxt2[100:200, 400:700] += 30 * 376.32 / 2     # ~30 IRE luma step
+    _, k2_static = split3d_pal(cur, prev, jnp.asarray(nxt), CombPALConfig())
+    _, k2_moved = split3d_pal(cur, prev, jnp.asarray(nxt2), CombPALConfig())
+    k2s = np.asarray(k2_static)
+    k2m = np.asarray(k2_moved)
+    assert k2s[120:180, 450:650].mean() > 0.9        # static: 3D confident
+    assert k2m[120:180, 450:650].mean() < 0.1        # motion: gated out
+    assert k2m[300:400, 450:650].mean() > 0.9        # elsewhere unaffected

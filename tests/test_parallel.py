@@ -56,3 +56,33 @@ def test_sharded_demod_matches_single(small_cfg):
 
     # peak lists replicated along sp and plausible
     assert pidx.shape == (nfields, 1024)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_sharded_comb3d_matches_single():
+    """3D comb with +-1-frame ppermute halos == per-frame single-device
+    comb for every frame whose neighbors are real (non-wrapped)."""
+    from ld_decode_tpu.comb.comb_ntsc import CombConfig, comb_frame, IN_Y, IN_X
+
+    cfg = CombConfig(dim=3, opticalflow=False)
+    nframes = 16
+    rng = np.random.default_rng(4)
+    # smooth-ish synthetic frames with a moving feature
+    base = rng.integers(12000, 40000, (IN_Y, IN_X)).astype(np.uint16)
+    frames = np.stack([base] * nframes).astype(np.int32)
+    for k in range(nframes):
+        frames[k, 100:200, 100 + 8 * k:200 + 8 * k] += 4000
+    frames = frames.astype(np.uint16)
+
+    step, fmesh = M.build_sharded_comb3d(cfg, M.make_mesh(8), nframes)
+    fj = jax.device_put(jnp.asarray(frames),
+                        NamedSharding(fmesh, P('f')))
+    got = np.asarray(step(fj))
+
+    # reference: sequential per-frame comb with per-frame AGC seed
+    for k in (1, 5, 8, 14):        # interior frames incl. shard boundaries
+        rgb, _ = comb_frame(jnp.asarray(frames[k]),
+                            jnp.asarray(frames[k + 1]),
+                            jnp.asarray(frames[k - 1]),
+                            jnp.float32(-1.0), cfg)
+        np.testing.assert_array_equal(got[k], np.asarray(rgb))
