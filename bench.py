@@ -29,7 +29,7 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    nframes_cap = 32
+    nframes_cap = 44
     samples = E.encode_frames(cfg, nframes_cap,
                               E.EncodeSpec(pattern='ramp',
                                            cav_start_frame=900))

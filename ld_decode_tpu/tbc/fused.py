@@ -441,8 +441,14 @@ def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
 
 def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
                    bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
-                   colorlevel: float, burstlevel):
-    """Output generation from refined line locations + resampled picture."""
+                   colorlevel: float, burstlevel,
+                   philips_windows: bool = True):
+    """Output generation from refined line locations + resampled picture.
+
+    philips_windows=True ships the raw VBI line windows for the host
+    slicer (finish_bundle_spec); False runs the Philips slicer on-device
+    and ships just the nibbles (pipeline_bundle_spec) — the windows were
+    ~7% of the per-field transfer on a ~45 MB/s tunnel."""
     max_lc = max_linecount(cfg)
     picture = _scale_u16(scaled, max_lc, lc,
                          burstlevel if cfg.system == 'NTSC' else None,
@@ -459,7 +465,7 @@ def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
         acount = jnp.int32(1)
         anext = jnp.float32(0.)
 
-    # VBI windows for the host-side philips slicer
+    # VBI line windows: ship raw (host slicer) or slice on-device
     wp = philips_window_len(cfg)
     wins = []
     fracs = []
@@ -468,8 +474,22 @@ def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
         w0 = jnp.clip(lli[l], 0, nsamp - wp)
         wins.append(jax.lax.dynamic_slice(video['demod'], (w0,), (wp,)))
         fracs.append((lli[l] - w0).astype(jnp.float32) + llf[l])
-    philips = jnp.stack(wins).astype(jnp.float32)
-    philips_frac = jnp.stack(fracs).astype(jnp.float32)
+
+    if philips_windows:
+        philips = jnp.stack(wins).astype(jnp.float32)
+        philips_frac = jnp.stack(fracs).astype(jnp.float32)
+        tail = [philips, philips_frac]
+    else:
+        from ld_decode_tpu.vbi.philips import slice_philips_dev
+        nibs = []
+        oks = []
+        for w, fr in zip(wins, fracs):
+            nb, ok = slice_philips_dev(w.astype(jnp.float32), fr,
+                                       cfg.freq_mhz, cfg.iretohz(50))
+            nibs.append(nb)
+            oks.append(ok)
+        tail = [jnp.stack(nibs).astype(jnp.int32),
+                jnp.stack(oks).astype(jnp.int32)]
 
     return pack_bundle([
         picture,
@@ -477,8 +497,7 @@ def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
         lli.astype(jnp.int32),
         llf.astype(jnp.float32),
         burstlevel.astype(jnp.float32),
-        philips,
-        philips_frac,
+    ] + tail + [
         acount.reshape(1),
         anext.reshape(1),
     ])
@@ -553,10 +572,24 @@ def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
 # fully-fused batch pipeline: analyze + vsync/linelocs + finish in ONE call
 
 def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
-    """finish bundle + per-field meta (valid/istop/lc/nfo/npeaks/nvsyncs/
-    readsample int32 words, then the audio offset this field consumed)."""
-    base = finish_bundle_spec(cfg)
-    return BundleSpec(base.fields + [
+    """Like finish_bundle_spec but with the Philips codes sliced
+    on-device (nibbles instead of raw line windows), plus per-field meta
+    (valid/istop/lc/nfo/npeaks/nvsyncs/readsample int32 words, then the
+    audio offset this field consumed)."""
+    W = cfg.sys.outlinelen
+    linecount = max_linecount(cfg)
+    nlines = max_nlines(cfg)
+    ncl = len(cfg.sys.philips_codelines)
+    return BundleSpec([
+        ('picture', (linecount * W,), np.uint16),
+        ('audio', (audio_maxt(cfg) * 2,), np.int16),
+        ('linelocs_i', (nlines,), np.int32),
+        ('linelocs_f', (nlines,), np.float32),
+        ('burstlevel', (nlines,), np.float32),
+        ('philips_nib', (ncl, 6), np.int32),
+        ('philips_ok', (ncl,), np.int32),
+        ('audio_count', (1,), np.int32),
+        ('audio_next_offset', (1,), np.float32),
         ('meta_i', (7,), np.int32),
         ('meta_f', (1,), np.float32),
     ])
@@ -657,7 +690,8 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
             v, i_, f_, max_lc, cfg))(video, lli, llf)
 
     outfn = lambda v, a, i_, f_, s_, l_, o_, bl_: _finish_output(
-        v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, colorlevel, bl_)
+        v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, colorlevel, bl_,
+        philips_windows=False)
     out = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                           offs_used, burstlevel)
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from ld_decode_tpu.tbc import fused as FU
 from ld_decode_tpu.tbc.field import FieldDecoder, FieldResult
-from ld_decode_tpu.vbi.philips import decode_philips_line, interpret_philips
+from ld_decode_tpu.vbi.philips import interpret_philips
 
 
 @dataclass
@@ -74,11 +74,19 @@ class FieldPrefetcher:
                       'batches': 0, 'flight_flush': 0,
                       't_dispatch': 0.0, 't_fetch': 0.0, 't_unpack': 0.0}
         self.pipelined = pipelined
-        # in-flight dispatched batches: (bundle_dev, next_start0_dev,
-        # next_offset0_dev, mtf)
+        # in-flight dispatched batches: [bundle_dev, next_start0_dev,
+        # next_offset0_dev, mtf, fetch_future_or_None]
         self._flight: deque = deque()
+        self._executor = None
         import jax
         self._pallas = jax.default_backend() == 'tpu'
+
+    def _exec(self):
+        if self._executor is None:
+            import concurrent.futures
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        return self._executor
 
     def flush(self):
         self.queue.clear()
@@ -101,7 +109,7 @@ class FieldPrefetcher:
             self.field_pitch,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase,
             pallas=self._pallas)
-        self._flight.append((bundle, nso, noo, mtf_level))
+        self._flight.append([bundle, nso, noo, mtf_level, None])
         self.stats['batches'] += 1
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
@@ -109,7 +117,7 @@ class FieldPrefetcher:
         if not self.pipelined:
             return
         while self._flight and len(self._flight) < self.DEPTH:
-            _, nso, noo, _m = self._flight[-1]
+            _, nso, noo, _m, _f = self._flight[-1]
             self._dispatch(nso, noo, mtf_level)
 
     def _fetch_entries(self) -> List[_Entry]:
@@ -117,9 +125,15 @@ class FieldPrefetcher:
         import time as _time
         dec = self.decoder
         cfg = dec.cfg
-        bundle, _nso, _noo, mtf = self._flight.popleft()
+        bundle, _nso, _noo, mtf, fut = self._flight.popleft()
         t0 = _time.perf_counter()
-        buf = np.asarray(bundle).reshape(self.batch, -1)
+        if self._flight and self._flight[0][4] is None:
+            # start pulling the next batch's buffer over the tunnel while
+            # this one is unpacked/consumed (transfers overlap partially)
+            nb = self._flight[0][0]
+            self._flight[0][4] = self._exec().submit(np.asarray, nb)
+        buf = (fut.result() if fut is not None
+               else np.asarray(bundle)).reshape(self.batch, -1)
         t1 = _time.perf_counter()
 
         spec = FU.pipeline_bundle_spec(cfg)
@@ -142,8 +156,8 @@ class FieldPrefetcher:
                         + data['linelocs_f'].astype(np.float64))[:nlines]
             linecode = {}
             for i, l in enumerate(cfg.sys.philips_codelines):
-                linecode[l] = decode_philips_line(
-                    data['philips'][i], float(data['philips_frac'][i]), cfg)
+                linecode[l] = (list(int(x) for x in data['philips_nib'][i])
+                               if data['philips_ok'][i] else None)
             r = FieldResult(
                 True, nfo, istop=bool(istop), linecount=lc, tbcstart=nfo,
                 peak_count=npk, vsync_count=nvs, linelocs=linelocs,
