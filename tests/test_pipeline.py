@@ -71,3 +71,32 @@ def test_batched_audio_close(pair):
             rms_a = np.sqrt(np.mean(a ** 2))
             rms_b = np.sqrt(np.mean(b ** 2))
             assert abs(rms_a - rms_b) / rms_a < 0.02
+
+
+def test_batched_pal_matches_sequential():
+    """The fused batch pipeline must serve PAL too (pilot TBC branch,
+    1135-wide resample, lineoffset-3 paths, PAL line numbering)."""
+    cfg = DecoderConfig(system='PAL', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='palbars',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr_seq = FR.Framer(cfg, bank, capture=samples)
+    fr_bat = FR.Framer(cfg, bank, capture=samples, batch=6)
+
+    s1 = s2 = 2560 * 14
+    n = 0
+    for i in range(2):
+        rv1 = fr_seq.readframe(None, s1, i == 0)
+        rv2 = fr_bat.readframe(None, s2, i == 0)
+        assert rv1[0] is not None and rv2[0] is not None
+        a = rv1[0].reshape(-1, 1135).astype(np.int64)
+        b = rv2[0].reshape(-1, 1135).astype(np.int64)
+        # head rows (vsync region) and the final tail-sanitizer rows are
+        # legitimately analysis-window-position-dependent (see the NTSC
+        # comment above / reference lddecode_core.py:769-785)
+        d = np.abs(a[24:-4] - b[24:-4])
+        assert np.percentile(d, 99.9) <= 2, d.max()
+        s1, s2 = rv1[2], rv2[2]
+        n += 1
+    assert n == 2
+    assert fr_bat.vbi['framenr'] == fr_seq.vbi['framenr'] is not None
