@@ -133,10 +133,38 @@ def decode_f3_frame(bits: np.ndarray, start: int
     return words[0], np.array(words[1:], np.int16)
 
 
+def chain_frame_syncs(syncs: np.ndarray) -> np.ndarray:
+    """Keep only syncs on the 588-channel-bit frame grid.
+
+    The T11-T11 pattern can also appear mid-frame (real encoders avoid it
+    via merging-bit selection, but damaged streams alias it too).  A sync
+    is kept when a neighbor exists exactly one frame before or after it —
+    isolated pattern hits are discarded — and overlapping keepers are
+    resolved greedily on the 588 grid."""
+    syncs = np.asarray(syncs, np.int64)
+    if len(syncs) == 0:
+        return syncs
+    pos = set(syncs.tolist())
+
+    def near(p):
+        return any(p + d in pos for d in (-1, 0, 1))
+
+    supported = np.array([s for s in syncs
+                          if near(s - F3_CHANNEL_BITS)
+                          or near(s + F3_CHANNEL_BITS)], np.int64)
+    out = []
+    last = -F3_CHANNEL_BITS
+    for s in supported:
+        if s >= last + F3_CHANNEL_BITS - 2:
+            out.append(int(s))
+            last = s
+    return np.array(out, np.int64)
+
+
 def decode_frames(bits: np.ndarray):
     """All decodable F3 frames: list of (sync_pos, control, payload)."""
     out = []
-    for s in find_frame_syncs(bits):
+    for s in chain_frame_syncs(find_frame_syncs(bits)):
         r = decode_f3_frame(bits, int(s))
         if r is not None:
             out.append((int(s), r[0], r[1]))
@@ -168,14 +196,45 @@ def descramble_sector(payload: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # test-signal generation (the encoder the reference never had)
 
+def _pick_merging(tz: int, lz: int) -> list:
+    """Choose 3 merging bits keeping every run in the EFM RLL window
+    (3 <= distance between 1s <= 11); IEC 60908 guarantees a choice
+    exists (real mastering additionally optimizes DSV)."""
+    for m in ((0, 0, 0), (0, 1, 0), (0, 0, 1), (1, 0, 0)):
+        seq = [1] + [0] * tz + list(m) + [0] * lz + [1]
+        ones = [i for i, b in enumerate(seq) if b]
+        runs = [b - a for a, b in zip(ones, ones[1:])]
+        if all(3 <= r <= 11 for r in runs):
+            return list(m)
+    raise ValueError(f'no legal merging bits for tz={tz} lz={lz}')
+
+
+def _tz(bits) -> int:
+    n = 0
+    for b in reversed(bits):
+        if b:
+            break
+        n += 1
+    return n
+
+
 def encode_f3_frame(control: int, payload: np.ndarray,
                     rng=None) -> np.ndarray:
-    """Channel bits of one F3 frame (merging bits all zero)."""
-    bits = [int(c) for c in SYNC_PATTERN] + [0, 0, 0]
+    """Channel bits of one F3 frame, with RLL-legal merging bits (all-zero
+    merging can fabricate runs beyond T11, which no clocked reader — ours
+    included — is required to resolve)."""
+    bits = [int(c) for c in SYNC_PATTERN]
     for byte in [control] + list(payload):
         p = EFM_CODES[int(byte) & 0xFF]
-        bits += [(p >> k) & 1 for k in range(13, -1, -1)]
-        bits += [0, 0, 0]
+        sym = [(p >> k) & 1 for k in range(13, -1, -1)]
+        lz = 0
+        for b in sym:
+            if b:
+                break
+            lz += 1
+        bits += _pick_merging(_tz(bits), lz) + sym
+    # closing merging bits (the next frame opens with the sync's leading 1)
+    bits += _pick_merging(_tz(bits), 0)
     return np.array(bits, np.uint8)
 
 
@@ -190,3 +249,51 @@ def nrzi_waveform(bits: np.ndarray, sample_rate_hz: float,
     for i in range(len(bits)):
         wave[edges[i]:edges[i + 1]] = 1.0 if level[i] else -1.0
     return wave * amplitude
+
+
+# ---------------------------------------------------------------------------
+# full digital-audio chain: EFM front-end -> CIRC -> stereo samples
+
+def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
+    """RF samples -> error-corrected 16-bit stereo audio.
+
+    Chains the vectorized front-end (channel-bit recovery, F3 sync, EFM
+    demod) into CIRC C1/C2 correction (audio/circ.py) and the CD byte ->
+    sample mapping.  The reference's prototype stopped at raw frame
+    payloads with no correction (attic2/cd-decoder.py:407-507).
+
+    Returns dict with 'samples' (n, 2) int16, 'controls' (nframes,) the
+    subcode/control symbols, and the CIRC stats arrays.
+    """
+    from ld_decode_tpu.audio import circ as C
+
+    bits = channel_bits_from_rf(samples, sample_rate_hz)
+    frames = decode_frames(bits)
+    if not frames:
+        return {'samples': np.zeros((0, 2), np.int16),
+                'controls': np.zeros(0, np.int16),
+                'c1_ok': np.zeros(0, bool), 'c2_ok': np.zeros(0, bool)}
+    controls = np.array([f[1] for f in frames], np.int16)
+    payload = np.stack([f[2] for f in frames])      # (nframes, 32), -1 bad
+    chan = np.where(payload < 0, 0, payload).astype(np.uint8)
+    dec = C.circ_decode(chan)
+    return {
+        'samples': C.audio_to_samples(dec['audio']),
+        'controls': controls,
+        'c1_ok': dec['c1_ok'], 'c2_ok': dec['c2_ok'],
+        'c1_corrected': dec['c1_corrected'],
+        'c2_corrected': dec['c2_corrected'],
+    }
+
+
+def encode_digital_audio(samples: np.ndarray, sample_rate_hz: float,
+                         control: int = 0) -> np.ndarray:
+    """Stereo samples -> EFM RF waveform (test fixture for the full chain:
+    CIRC encode -> F3 frames -> NRZI at the capture rate)."""
+    from ld_decode_tpu.audio import circ as C
+
+    audio = C.samples_to_audio(samples)
+    chan = C.circ_encode(audio)                      # (nframes, 32)
+    allbits = [encode_f3_frame(control, chan[i])
+               for i in range(chan.shape[0])]
+    return nrzi_waveform(np.concatenate(allbits), sample_rate_hz)
