@@ -29,7 +29,10 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    nframes_cap = 44
+    # enough frames past the timed span that the DEPTH=3 x 8-field
+    # speculative lookahead (~12 frames) never clamps at the capture end
+    # mid-measurement (an EOF clamp flushes the whole in-flight chain)
+    nframes_cap = 60
     samples = E.encode_frames(cfg, nframes_cap,
                               E.EncodeSpec(pattern='ramp',
                                            cav_start_frame=900))
@@ -56,7 +59,7 @@ def main():
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    reps = 40
+    reps = 44
     nframes = 0
     t0 = time.time()
     sample = start

@@ -58,6 +58,9 @@ class CombConfig:
     use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
     opticalflow: bool = True   # dim 3: Farneback flow gating (reference
                                # default; False = the K-map `-F` path)
+    optflow_engine: str = 'native'  # 'native' = our JAX Farneback
+                                    # (comb/optflow.py); 'cv2' = OpenCV
+                                    # host fallback / parity oracle
 
     @property
     def firstline(self) -> int:
@@ -411,10 +414,14 @@ def flow_luma(raw_u16, cfg: CombConfig):
 
 def farneback_combk2(y_now: np.ndarray, prev_pics: dict, flows: dict,
                      fcount: int, p_3dcore: float = 0.0,
-                     p_3drange: float = 0.5) -> np.ndarray:
+                     p_3drange: float = 0.5,
+                     engine: str = 'native') -> np.ndarray:
     """Per-pixel 3D confidence from Farneback optical flow on each field's
-    luma (comb-ntsc.cxx:600-662).  Mutates prev_pics/flows carries."""
-    import cv2
+    luma (comb-ntsc.cxx:600-662).  Mutates prev_pics/flows carries.
+
+    engine='native' runs our JAX Farneback (comb/optflow.py) — the whole
+    3D comb then has no host-side OpenCV dependency; engine='cv2' keeps
+    the OpenCV call (parity oracle)."""
     cysize, cxsize = 252, IN_X - 70
     combk2 = np.zeros((IN_Y, IN_X), np.float32)
     cs = []
@@ -423,10 +430,20 @@ def farneback_combk2(y_now: np.ndarray, prev_pics: dict, flows: dict,
         pic = np.ascontiguousarray(
             np.clip(y_now[rows, 70:70 + cxsize], 0, 65535)).astype(np.uint16)
         if fcount:
-            flags = cv2.OPTFLOW_USE_INITIAL_FLOW if fcount > 1 else 0
+            use_init = fcount > 1
             flow = flows.get(field)
-            flow = cv2.calcOpticalFlowFarneback(
-                pic, prev_pics[field], flow, 0.5, 4, 60, 3, 7, 1.5, flags)
+            if engine == 'cv2':
+                import cv2
+                flags = cv2.OPTFLOW_USE_INITIAL_FLOW if use_init else 0
+                flow = cv2.calcOpticalFlowFarneback(
+                    pic, prev_pics[field], flow, 0.5, 4, 60, 3, 7, 1.5,
+                    flags)
+            else:
+                from ld_decode_tpu.comb.optflow import \
+                    calc_optical_flow_farneback
+                flow = np.asarray(calc_optical_flow_farneback(
+                    pic, prev_pics[field], flow, 0.5, 4, 60, 3, 7, 1.5,
+                    use_initial_flow=use_init))
             flows[field] = flow
             mag = np.sqrt(flow[..., 1] ** 2 + (flow[..., 0] * 2) ** 2)
             cs.append(1.0 - np.clip((mag - p_3dcore) / p_3drange, 0, 1))

@@ -122,14 +122,12 @@ class Framer:
         """Interlace weave incl. the visible half-line
         (reference lddecode_core.py:1238-1252)."""
         W = self.outwidth
-        linecount = min(fields[0].linecount, fields[1].linecount) * 2
+        half = min(fields[0].linecount, fields[1].linecount)
+        linecount = half * 2
         combined = np.zeros(W * self.outlines, dtype=np.uint16)
-        for i in range(0, linecount, 2):
-            cur = i // 2
-            combined[i * W:(i + 1) * W] = \
-                fields[0].dspicture[cur * W:cur * W + W]
-            combined[(i + 1) * W:(i + 2) * W] = \
-                fields[1].dspicture[cur * W:cur * W + W]
+        rows = combined.reshape(self.outlines, W)
+        rows[0:linecount:2] = fields[0].dspicture[:half * W].reshape(-1, W)
+        rows[1:linecount:2] = fields[1].dspicture[:half * W].reshape(-1, W)
         lf = int(np.argmax([fields[0].linecount, fields[1].linecount]))
         cur = linecount // 2
         if (cur + 1) * W <= len(fields[lf].dspicture):

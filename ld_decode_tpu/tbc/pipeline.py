@@ -6,8 +6,10 @@ logic, refinement, downscale, VBI windows) returning one packed buffer.
 The call takes its (start0, audio_offset0) chain state as device scalars
 and returns the next chain state as device scalars, so consecutive
 speculative batches dispatch back-to-back with no host synchronization:
-the prefetcher keeps DEPTH=2 batches in flight and the ~25 ms tunnel
-transfer of batch k overlaps the device compute of batch k+1.  Fields
+the prefetcher keeps DEPTH batches in flight, and every batch's packed
+output is pulled over the tunnel eagerly on 2-4 concurrent fetch threads
+the moment its compute finishes (the D2H link, ~40 MB/s, is the
+throughput wall — it must stay saturated).  Fields
 self-lock onto their own sync peaks, so start-prediction error only
 shifts the analysis window; a mispredicted/invalid window falls back to
 the sequential path.
@@ -58,7 +60,7 @@ def chain_audio_offset(offset: float, linecount: int, line_period: float,
 class FieldPrefetcher:
     """Supplies FieldResults to the Framer from device-chained batches."""
 
-    DEPTH = 2
+    DEPTH = 3
 
     def __init__(self, decoder: FieldDecoder, capture_dev, batch: int = 8,
                  pipelined: bool = True):
@@ -74,8 +76,8 @@ class FieldPrefetcher:
                       'batches': 0, 'flight_flush': 0,
                       't_dispatch': 0.0, 't_fetch': 0.0, 't_unpack': 0.0}
         self.pipelined = pipelined
-        # in-flight dispatched batches: [bundle_dev, next_start0_dev,
-        # next_offset0_dev, mtf, fetch_future_or_None]
+        # in-flight dispatched batches: [chunk_fetch_futures, next_start0_dev,
+        # next_offset0_dev, mtf]
         self._flight: deque = deque()
         self._executor = None
         import jax
@@ -84,8 +86,11 @@ class FieldPrefetcher:
     def _exec(self):
         if self._executor is None:
             import concurrent.futures
+            # one thread per in-flight bundle chunk: each D2H transfer
+            # occupies a worker until the batch's compute finishes, and
+            # 2-4 concurrent tunnel streams beat one (see fused.py split)
             self._executor = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1)
+                max_workers=4 * (self.DEPTH + 1))
         return self._executor
 
     def flush(self):
@@ -103,13 +108,19 @@ class FieldPrefetcher:
         cfg = dec.cfg
         n_audio1 = dec.nblocks * dec.bank.a_stage1_keep \
             if dec.bank.has_audio else 0
-        bundle, nso, noo = FU.field_pipeline_batch(
+        chunks, nso, noo = FU.field_pipeline_batch(
             self.capture, start0, offset0, jnp.float32(mtf_level),
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase,
             pallas=self._pallas)
-        self._flight.append([bundle, nso, noo, mtf_level, None])
+        # eager-fetch every chunk now: each np.asarray blocks its worker
+        # until the device compute finishes, so the tunnel starts the
+        # transfer the moment the batch is ready, independent of when the
+        # host consumes it — the D2H link stays saturated
+        ex = self._exec()
+        futs = [ex.submit(np.asarray, c) for c in chunks]
+        self._flight.append([futs, nso, noo, mtf_level])
         self.stats['batches'] += 1
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
@@ -117,7 +128,7 @@ class FieldPrefetcher:
         if not self.pipelined:
             return
         while self._flight and len(self._flight) < self.DEPTH:
-            _, nso, noo, _m, _f = self._flight[-1]
+            _, nso, noo, _m = self._flight[-1]
             self._dispatch(nso, noo, mtf_level)
 
     def _fetch_entries(self) -> List[_Entry]:
@@ -125,15 +136,10 @@ class FieldPrefetcher:
         import time as _time
         dec = self.decoder
         cfg = dec.cfg
-        bundle, _nso, _noo, mtf, fut = self._flight.popleft()
+        futs, _nso, _noo, mtf = self._flight.popleft()
         t0 = _time.perf_counter()
-        if self._flight and self._flight[0][4] is None:
-            # start pulling the next batch's buffer over the tunnel while
-            # this one is unpacked/consumed (transfers overlap partially)
-            nb = self._flight[0][0]
-            self._flight[0][4] = self._exec().submit(np.asarray, nb)
-        buf = (fut.result() if fut is not None
-               else np.asarray(bundle)).reshape(self.batch, -1)
+        buf = np.concatenate([f.result() for f in futs]
+                             ).reshape(self.batch, -1)
         t1 = _time.perf_counter()
 
         spec = FU.pipeline_bundle_spec(cfg)

@@ -53,13 +53,40 @@ def find_sync_peaks(ds: jnp.ndarray, window: int,
     sequential skip of 0.4*linelen (lddecode_core.py:512) implies the same
     constraint.
 
+    The sparse indices are compacted hierarchically: top-2 peak positions
+    per block of BL <= window samples, then a cumsum over per-block counts
+    and one tiny scatter.  (jnp.nonzero(size=...) lowers to a full sort of
+    the sample axis on TPU — 13x slower at demod scale.)  Two peaks can
+    share a block only when they are exactly equal valued (each must equal
+    the sliding max over a window that covers both), so top-2 per block is
+    lossless short of >=3 bit-identical maxima within BL samples.
+
     Returns (idx, val): int32 indices padded with -1, and the peak values.
     """
+    n = ds.shape[0]
     wmax = sliding_max(ds, window)
     left = jnp.concatenate([jnp.array([-jnp.inf], ds.dtype), ds[:-1]])
     is_peak = (ds >= wmax) & (ds > threshold) & (ds > left)
 
-    idx = jnp.nonzero(is_peak, size=MAX_PEAKS, fill_value=-1)[0].astype(jnp.int32)
+    BL = min(512, window)
+    nb = -(-n // BL)
+    mp = jnp.pad(is_peak, (0, nb * BL - n)).reshape(nb, BL)
+    ar = jnp.arange(BL, dtype=jnp.int32)
+    i1 = jnp.argmax(mp, axis=1).astype(jnp.int32)
+    has1 = jnp.any(mp, axis=1)
+    mp2 = mp & (ar[None, :] > i1[:, None])
+    i2 = jnp.argmax(mp2, axis=1).astype(jnp.int32)
+    has2 = jnp.any(mp2, axis=1)
+
+    cnt = has1.astype(jnp.int32) + has2.astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    base = jnp.arange(nb, dtype=jnp.int32) * BL
+    idxs = jnp.stack([base + i1, base + i2], axis=1).reshape(-1)
+    pos = jnp.stack([off, off + 1], axis=1).reshape(-1)
+    ok = jnp.stack([has1, has2], axis=1).reshape(-1)
+    pos = jnp.where(ok & (pos < MAX_PEAKS), pos, MAX_PEAKS)
+    idx = jnp.full(MAX_PEAKS + 1, -1, jnp.int32
+                   ).at[pos].set(idxs, mode='drop')[:MAX_PEAKS]
     val = jnp.where(idx >= 0, ds[jnp.maximum(idx, 0)], 0.0)
     return idx, val
 
