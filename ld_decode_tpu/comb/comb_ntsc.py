@@ -562,7 +562,7 @@ class NTSCComb:
                 y_now = np.asarray(flow_luma(frame, cfg))
                 self._of_combk2 = farneback_combk2(
                     y_now, self._of_prev, self._of_flows, self._of_count,
-                    cfg.p_3dcore, cfg.p_3drange)
+                    cfg.p_3dcore, cfg.p_3drange, cfg.optflow_engine)
                 self._of_count += 1
             if len(self.ring) < 3:
                 self.framecount += 1
