@@ -86,3 +86,21 @@ def test_sharded_comb3d_matches_single():
                             jnp.asarray(frames[k - 1]),
                             jnp.float32(-1.0), cfg)
         np.testing.assert_array_equal(got[k], np.asarray(rgb))
+
+
+def test_nn_comb_train_dp_mesh():
+    """The NN-comb training step runs data-parallel over the mesh's dp
+    axis and matches the unsharded run exactly (same keys, same init)."""
+    from ld_decode_tpu.models import nn_comb as NC
+
+    mesh = M.make_mesh(8)
+    key = jax.random.PRNGKey(5)
+    p_mesh, loss_mesh = NC.train_nn_comb(key=key, steps=3, batch=4, h=16,
+                                         w=64, features=(8, 8), mesh=mesh)
+    p_one, loss_one = NC.train_nn_comb(key=key, steps=3, batch=4, h=16,
+                                       w=64, features=(8, 8), mesh=None)
+    assert np.isfinite(loss_mesh)
+    np.testing.assert_allclose(loss_mesh, loss_one, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
+                    jax.tree_util.tree_leaves(p_one)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
