@@ -128,7 +128,16 @@ def decode_f3_frame(bits: np.ndarray, start: int
     for k in range(33):                # control byte + 32 payload bytes
         w = f[pos:pos + 14]
         val = int(w.dot(1 << np.arange(13, -1, -1)))
-        words.append(int(EFM_DECODE[val]))
+        dec = int(EFM_DECODE[val])
+        if k == 0 and dec < 0:
+            # control slot may carry the S0/S1 subcode-sync symbols,
+            # which are deliberately outside the EFM code set
+            from ld_decode_tpu.audio import subcode as SC
+            if val == SC.S0_PATTERN:
+                dec = SC.S0
+            elif val == SC.S1_PATTERN:
+                dec = SC.S1
+        words.append(dec)
         pos += 14 + 3                  # merging bits between symbols
     return words[0], np.array(words[1:], np.int16)
 
@@ -225,7 +234,11 @@ def encode_f3_frame(control: int, payload: np.ndarray,
     included — is required to resolve)."""
     bits = [int(c) for c in SYNC_PATTERN]
     for byte in [control] + list(payload):
-        p = EFM_CODES[int(byte) & 0xFF]
+        if int(byte) < 0:              # S0/S1 subcode-sync sentinels
+            from ld_decode_tpu.audio import subcode as SC
+            p = {SC.S0: SC.S0_PATTERN, SC.S1: SC.S1_PATTERN}[int(byte)]
+        else:
+            p = EFM_CODES[int(byte) & 0xFF]
         sym = [(p >> k) & 1 for k in range(13, -1, -1)]
         lz = 0
         for b in sym:
@@ -263,15 +276,18 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
     payloads with no correction (attic2/cd-decoder.py:407-507).
 
     Returns dict with 'samples' (n, 2) int16, 'controls' (nframes,) the
-    subcode/control symbols, and the CIRC stats arrays.
+    subcode/control symbols (S0/S1 syncs as -2/-3 sentinels), 'q' the
+    CRC-valid Q-subcode packets (audio/subcode.py), and the CIRC stats
+    arrays.
     """
     from ld_decode_tpu.audio import circ as C
+    from ld_decode_tpu.audio import subcode as SC
 
     bits = channel_bits_from_rf(samples, sample_rate_hz)
     frames = decode_frames(bits)
     if not frames:
         return {'samples': np.zeros((0, 2), np.int16),
-                'controls': np.zeros(0, np.int16),
+                'controls': np.zeros(0, np.int16), 'q': [],
                 'c1_ok': np.zeros(0, bool), 'c2_ok': np.zeros(0, bool)}
     controls = np.array([f[1] for f in frames], np.int16)
     payload = np.stack([f[2] for f in frames])      # (nframes, 32), -1 bad
@@ -280,6 +296,7 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
     return {
         'samples': C.audio_to_samples(dec['audio']),
         'controls': controls,
+        'q': SC.decode_subcode(controls),
         'c1_ok': dec['c1_ok'], 'c2_ok': dec['c2_ok'],
         'c1_corrected': dec['c1_corrected'],
         'c2_corrected': dec['c2_corrected'],
@@ -287,13 +304,24 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
 
 
 def encode_digital_audio(samples: np.ndarray, sample_rate_hz: float,
-                         control: int = 0) -> np.ndarray:
+                         control: int = 0,
+                         controls: Optional[np.ndarray] = None
+                         ) -> np.ndarray:
     """Stereo samples -> EFM RF waveform (test fixture for the full chain:
-    CIRC encode -> F3 frames -> NRZI at the capture rate)."""
+    CIRC encode -> F3 frames -> NRZI at the capture rate).
+
+    `controls` optionally supplies the per-frame control-slot symbols
+    (e.g. from subcode.subcode_symbols_for_section, with S0/S1
+    sentinels); shorter streams repeat, longer ones truncate.
+    """
     from ld_decode_tpu.audio import circ as C
 
     audio = C.samples_to_audio(samples)
     chan = C.circ_encode(audio)                      # (nframes, 32)
-    allbits = [encode_f3_frame(control, chan[i])
-               for i in range(chan.shape[0])]
+    n = chan.shape[0]
+    if controls is None:
+        ctl = [control] * n
+    else:
+        ctl = [int(controls[i % len(controls)]) for i in range(n)]
+    allbits = [encode_f3_frame(ctl[i], chan[i]) for i in range(n)]
     return nrzi_waveform(np.concatenate(allbits), sample_rate_hz)
