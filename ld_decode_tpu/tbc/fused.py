@@ -107,6 +107,114 @@ def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate([_to_u16(a) for a in arrays])
 
 
+# ---------------------------------------------------------------------------
+# lossless picture codec
+#
+# The axon tunnel's D2H link saturates near ~40 MB/s and the u16 picture is
+# ~93% of every field bundle, so raw transfer caps end-to-end decode around
+# 25-30 MSa/s regardless of TPU speed.  The batched pipeline therefore ships
+# the picture losslessly compressed:
+#
+#   transform  vertical delta against line l-k, then horizontal lag-1 delta
+#              of that residual.  k=2 for NTSC (2 lines = 455 subcarrier
+#              cycles exactly, so chroma/burst phase matches;
+#              lddecode_core.py:56 linelen 910 = 227.5 cycles x 4) and k=4
+#              for PAL (4 lines = 1135 cycles exactly, same V-switch).  The
+#              horizontal pass flattens the sub-sample line-jitter residual
+#              at high-slope columns (sync edge, burst).  Head lines (l<k)
+#              carry their raw values through the same horizontal pass.
+#   residuals  mod-2^16, zigzag-mapped; the low 12 bits ship dense (4
+#              samples -> 3 u16 words), the top 4 bits ship as a sparse
+#              (index, nibble) list with a fixed ~3.5%-of-field capacity
+#   fallback   if the sparse plane overflows (n_hi > cap: heavy noise/rot),
+#              the host refetches that field's raw picture, which the batch
+#              keeps resident on device — the codec is lossless for ALL
+#              content, only its bandwidth win is content-dependent.
+#
+# Net: ~0.85x the raw picture bytes (0.848 NTSC / 0.841 PAL at the fixed
+# 3.5% sparse capacity) — the dense 12-bit plane dominates; it cannot go
+# narrower because real capture noise after two deltas (sigma_d ~ 2x the
+# sample noise, ~0.5-2 IRE = 180-730 counts) must stay inside the dense
+# range or the sparse plane explodes.
+
+def pic_codec_params(cfg: DecoderConfig):
+    """(lines, width, padded width, sparse capacity, predictor lag)."""
+    W = cfg.sys.outlinelen
+    Wp = -(-W // 4) * 4
+    L = max_linecount(cfg)
+    cap = -(-(L * Wp * 35 // 1000) // 2048) * 2048
+    k = 2 if cfg.system == 'NTSC' else 4
+    return L, W, Wp, cap, k
+
+
+def _pack12(v: jnp.ndarray) -> jnp.ndarray:
+    """(n,) 12-bit values -> (n//4*3,) u16 words."""
+    g = v.reshape(-1, 4)
+    w0 = g[:, 0] | ((g[:, 1] & 0xF) << 12)
+    w1 = (g[:, 1] >> 4) | ((g[:, 2] & 0xFF) << 8)
+    w2 = (g[:, 2] >> 8) | (g[:, 3] << 4)
+    return jnp.stack([w0, w1, w2], axis=1).astype(jnp.uint16).reshape(-1)
+
+
+def _unpack12(words: np.ndarray) -> np.ndarray:
+    """Invert _pack12 (host)."""
+    g = words.astype(np.int64).reshape(-1, 3)
+    v = np.empty((g.shape[0], 4), np.int64)
+    v[:, 0] = g[:, 0] & 0xFFF
+    v[:, 1] = (g[:, 0] >> 12) | ((g[:, 1] & 0xFF) << 4)
+    v[:, 2] = (g[:, 1] >> 8) | ((g[:, 2] & 0xF) << 8)
+    v[:, 3] = g[:, 2] >> 4
+    return v.reshape(-1)
+
+
+def encode_picture_dev(pic: jnp.ndarray, cfg: DecoderConfig):
+    """(L*W,) u16 picture -> (low12_words u16, hi_idx i32, hi_nib_words u16,
+    n_hi i32).  Exactly inverted by `decode_picture_host` when
+    n_hi <= cap; larger n_hi means the sparse plane overflowed."""
+    L, W, Wp, cap, k = pic_codec_params(cfg)
+    x = pic.reshape(L, W).astype(jnp.int32)
+    x = jnp.pad(x, ((0, 0), (0, Wp - W)), mode='edge')
+    r = jnp.concatenate([x[:k], x[k:] - x[:-k]], axis=0)
+    d = jnp.concatenate([r[:, :1], r[:, 1:] - r[:, :-1]], axis=1).reshape(-1)
+    ds = ((d + 0x8000) & 0xFFFF) - 0x8000          # residual mod 2^16, signed
+    z = ((ds << 1) ^ (ds >> 15)) & 0xFFFF          # zigzag
+    low_words = _pack12(z & 0xFFF)
+    hi = z >> 12
+    mask = hi > 0
+    pos = jnp.cumsum(mask) - 1
+    n_hi = (pos[-1] + 1).astype(jnp.int32)
+    slot = jnp.where(mask & (pos < cap), pos, cap)  # overflow -> dump slot
+    idx_buf = jnp.zeros(cap + 4, jnp.int32).at[slot].set(
+        jnp.arange(z.shape[0], dtype=jnp.int32), mode='drop')
+    nib = jnp.zeros(cap + 4, jnp.int32).at[slot].set(hi, mode='drop')
+    g = nib.reshape(-1, 4)
+    nib_words = (g[:, 0] | (g[:, 1] << 4) | (g[:, 2] << 8) | (g[:, 3] << 12)
+                 ).astype(jnp.uint16)
+    return low_words, idx_buf, nib_words, n_hi
+
+
+def decode_picture_host(data: Dict[str, np.ndarray], cfg: DecoderConfig
+                        ) -> Optional[np.ndarray]:
+    """Invert encode_picture_dev from an unpacked bundle; None on sparse
+    overflow (caller refetches the raw picture)."""
+    L, W, Wp, cap, k = pic_codec_params(cfg)
+    n_hi = int(data['pic_hi_n'][0])
+    if n_hi > cap:
+        return None
+    z = _unpack12(data['pic_low'])
+    if n_hi:
+        nw = data['pic_hi_val'].astype(np.int64)
+        nibs = np.stack([nw & 0xF, (nw >> 4) & 0xF, (nw >> 8) & 0xF,
+                         nw >> 12], axis=1).reshape(-1)
+        z[data['pic_hi_idx'][:n_hi]] |= nibs[:n_hi] << 12
+    d = ((z >> 1) ^ -(z & 1)).reshape(L, Wp)       # un-zigzag
+    r = np.cumsum(d, axis=1)                        # undo horizontal lag-1
+    x = r.copy()
+    for c in range(k):                              # vertical chains
+        x[c::k] = np.cumsum(r[c::k], axis=0)
+    return (x[:, :W] & 0xFFFF).astype(np.uint16).reshape(-1)
+
+
 class BundleSpec:
     """Static layout of a packed uint16 buffer."""
 
@@ -471,7 +579,8 @@ def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
 def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
                    bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
                    colorlevel: float, burstlevel,
-                   philips_windows: bool = True):
+                   philips_windows: bool = True,
+                   split_picture: bool = False):
     """Output generation from refined line locations + resampled picture.
 
     philips_windows=True ships the raw VBI line windows for the host
@@ -520,8 +629,7 @@ def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
         tail = [jnp.stack(nibs).astype(jnp.int32),
                 jnp.stack(oks).astype(jnp.int32)]
 
-    return pack_bundle([
-        picture,
+    rest = pack_bundle([
         audio,
         lli.astype(jnp.int32),
         llf.astype(jnp.float32),
@@ -530,6 +638,9 @@ def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
         acount.reshape(1),
         anext.reshape(1),
     ])
+    if split_picture:
+        return picture, rest
+    return jnp.concatenate([pack_bundle([picture]), rest])
 
 
 def field_finish_core(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
@@ -605,12 +716,14 @@ def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     on-device (nibbles instead of raw line windows), plus per-field meta
     (valid/istop/lc/nfo/npeaks/nvsyncs/readsample int32 words, then the
     audio offset this field consumed)."""
-    W = cfg.sys.outlinelen
-    linecount = max_linecount(cfg)
+    L, W, Wp, cap, k = pic_codec_params(cfg)
     nlines = max_nlines(cfg)
     ncl = len(cfg.sys.philips_codelines)
     return BundleSpec([
-        ('picture', (linecount * W,), np.uint16),
+        ('pic_low', (L * Wp // 4 * 3,), np.uint16),
+        ('pic_hi_idx', (cap + 4,), np.int32),
+        ('pic_hi_val', ((cap + 4) // 4,), np.uint16),
+        ('pic_hi_n', (1,), np.int32),
         ('audio', (audio_maxt(cfg) * 2,), np.int16),
         ('linelocs_i', (nlines,), np.int32),
         ('linelocs_f', (nlines,), np.float32),
@@ -720,22 +833,27 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
 
     outfn = lambda v, a, i_, f_, s_, l_, o_, bl_: _finish_output(
         v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, colorlevel, bl_,
-        philips_windows=False)
-    out = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
-                          offs_used, burstlevel)
+        philips_windows=False, split_picture=True)
+    pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
+                                offs_used, burstlevel)
+
+    enc = jax.vmap(lambda p: pack_bundle(
+        [x.reshape(1) if x.ndim == 0 else x
+         for x in encode_picture_dev(p, cfg)]))(pic)
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
                         lc, nfo, nv, vsd.count, starts], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
-    bundle = jnp.concatenate([out.reshape(starts.shape[0], -1), meta],
+    bundle = jnp.concatenate([enc, rest.reshape(starts.shape[0], -1), meta],
                              axis=1)
     # Split into per-field-pair chunks: the tunnel's D2H link is the
     # throughput wall (~40 MB/s single-stream, ~15% more with 2-4
     # concurrent streams) and the prefetcher pulls each chunk on its own
-    # thread as soon as the batch is dispatched.
+    # thread as soon as the batch is dispatched.  The raw picture stays
+    # device-resident (`pic`) for the codec's sparse-overflow fallback.
     nchunks = max(1, min(4, batch // 2))
     per = -(-batch // nchunks)
     chunks = tuple(bundle[i * per:(i + 1) * per].reshape(-1)
                    for i in range(nchunks))
-    return chunks, next_start0, next_offset0
+    return chunks, next_start0, next_offset0, pic

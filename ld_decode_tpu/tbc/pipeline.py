@@ -74,6 +74,7 @@ class FieldPrefetcher:
         self.stats = {'refills': 0, 'hits': 0, 'flush_sample': 0,
                       'flush_mtf': 0, 'flush_audio': 0, 'seq_fallback': 0,
                       'batches': 0, 'flight_flush': 0,
+                      'pic_raw_fallback': 0,
                       't_dispatch': 0.0, 't_fetch': 0.0, 't_unpack': 0.0}
         self.pipelined = pipelined
         # in-flight dispatched batches: [chunk_fetch_futures, next_start0_dev,
@@ -108,7 +109,7 @@ class FieldPrefetcher:
         cfg = dec.cfg
         n_audio1 = dec.nblocks * dec.bank.a_stage1_keep \
             if dec.bank.has_audio else 0
-        chunks, nso, noo = FU.field_pipeline_batch(
+        chunks, nso, noo, raw_pic = FU.field_pipeline_batch(
             self.capture, start0, offset0, jnp.float32(mtf_level),
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
@@ -117,10 +118,11 @@ class FieldPrefetcher:
         # eager-fetch every chunk now: each np.asarray blocks its worker
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
-        # host consumes it — the D2H link stays saturated
+        # host consumes it — the D2H link stays saturated.  raw_pic stays
+        # on device; it is only fetched if a field's codec plane overflows.
         ex = self._exec()
         futs = [ex.submit(np.asarray, c) for c in chunks]
-        self._flight.append([futs, nso, noo, mtf_level])
+        self._flight.append([futs, nso, noo, mtf_level, raw_pic])
         self.stats['batches'] += 1
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
@@ -128,7 +130,7 @@ class FieldPrefetcher:
         if not self.pipelined:
             return
         while self._flight and len(self._flight) < self.DEPTH:
-            _, nso, noo, _m = self._flight[-1]
+            nso, noo = self._flight[-1][1], self._flight[-1][2]
             self._dispatch(nso, noo, mtf_level)
 
     def _fetch_entries(self) -> List[_Entry]:
@@ -136,7 +138,7 @@ class FieldPrefetcher:
         import time as _time
         dec = self.decoder
         cfg = dec.cfg
-        futs, _nso, _noo, mtf = self._flight.popleft()
+        futs, _nso, _noo, mtf, raw_pic = self._flight.popleft()
         t0 = _time.perf_counter()
         buf = np.concatenate([f.result() for f in futs]
                              ).reshape(self.batch, -1)
@@ -169,7 +171,13 @@ class FieldPrefetcher:
                 peak_count=npk, vsync_count=nvs, linelocs=linelocs,
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode)
-            r.dspicture = data['picture'][:lc * W]
+            pic = FU.decode_picture_host(data, cfg)
+            if pic is None:
+                # sparse plane overflowed (heavy noise/rot): pull this
+                # field's raw picture from the batch's device-resident copy
+                self.stats['pic_raw_fallback'] += 1
+                pic = np.asarray(raw_pic[b])
+            r.dspicture = pic[:lc * W]
             nout = (int(data['audio_count'][0]) - 1) * 2
             r.dsaudio = data['audio'][:nout]
             r.audio_next_offset = float(data['audio_next_offset'][0])
