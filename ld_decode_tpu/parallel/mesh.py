@@ -91,9 +91,15 @@ def build_sharded_demod(cfg: DecoderConfig, bank: DemodBank, mesh: Mesh,
         out = {k: v[:, cfg.blockcut:cfg.blockcut + keep]
                 .reshape(F_l, nb_l * keep) for k, v in taps.items()}
 
-        # whole-field sync channel on every sp shard, peaks computed locally
-        sync_full = jax.lax.all_gather(out['demod_sync'], 'sp', axis=1,
-                                       tiled=True)
+        # whole-field sync channel on every sp shard, peaks computed
+        # locally.  The gather runs transposed: a tiled axis-1 all_gather
+        # makes XLA's cross-process (Gloo/DCN) layout assignment feed a
+        # non-dim0-major buffer into the upstream irfft, which the CPU
+        # backend rejects (fft_thunk RET_CHECK IsMonotonicWithDim0Major);
+        # gathering along axis 0 of the transpose compiles everywhere and
+        # is identical after the transpose back.
+        sync_full = jax.lax.all_gather(out['demod_sync'].T, 'sp', axis=0,
+                                       tiled=True).T
         peaks = []
         for f in range(F_l):
             idx, val = S.find_sync_peaks(sync_full[f], window)

@@ -1,0 +1,52 @@
+"""Multi-host (DCN-analog) decode: two OS processes, each holding 4
+virtual CPU devices, joined by `jax.distributed` into one 8-device mesh.
+
+The reference is single-host, single-threaded (SURVEY §2.4); our design
+shards the overlap-save block axis across hosts with `ppermute` halo
+exchange.  This test exercises the REAL cross-process collective path
+(Gloo over TCP — the CPU stand-in for DCN): the halo between global
+devices 3 and 4 crosses the process boundary, and both workers check
+their addressable shards against a single-device reference
+(tests/mh_worker.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), 'mh_worker.py')
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_demod():
+    port = _free_port()
+    env = dict(os.environ)
+    # keep the workers off the TPU tunnel: pure-CPU JAX, repo on the path
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = os.path.dirname(os.path.dirname(_WORKER))
+    procs = [subprocess.Popen(
+        [sys.executable, '-u', _WORKER, str(i), '2', str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {i} failed:\n{out}'
+        assert f'MH_WORKER_OK pid={i}' in out, out
