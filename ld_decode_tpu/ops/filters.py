@@ -89,8 +89,10 @@ def design_video_filters(cfg: DecoderConfig) -> VideoFilterSpec:
     fhz_half = cfg.freq_hz_half
     fhalf = cfg.freq_half
 
-    # MTF equalizer poles (reference lddecode_core.py:153-159)
-    if cfg.system == 'NTSC':
+    # MTF equalizer poles (reference lddecode_core.py:153-159); the VHS
+    # tape profile keeps the NTSC poles (MTF is a LaserDisc phenomenon —
+    # tape decodes always run mtf_level=0, making this a no-op there)
+    if cfg.system != 'PAL':
         poles = [polar2z(.7, np.pi * 12.5 / 20), polar2z(.7, np.pi * 27.5 / 20)]
     else:
         poles = [polar2z(.7, np.pi * 10 / 20), polar2z(.7, np.pi * 28 / 20)]

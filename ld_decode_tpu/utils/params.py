@@ -140,11 +140,52 @@ def pal_rf_params() -> RFParams:
     )
 
 
+def vhs_sys_params() -> SysParams:
+    """VHS/S-VHS tape FM profile (reference attic/vhs/vhs-decoder.py).
+
+    NTSC 525/29.97 timing on the same 4*fsc output grid; what changes is
+    the FM carrier map: 0 IRE at 5.4 MHz, 16 kHz/IRE (hz_ire_scale =
+    (7.0-5.4 MHz)/100, vhs-decoder.py:263-266 — the S-VHS sync-tip/white
+    deviation pair).  The analog audio carriers are the same 2.301136 /
+    2.812499 MHz pair the attic decoder slices (vhs-decoder.py:203-204).
+    VHS has no Philips VBI codes; the code lines are kept only so field
+    buffers keep the common shape (their nibbles are meaningless).
+    """
+    base = ntsc_sys_params()
+    return dataclasses.replace(
+        base,
+        system='VHS',
+        ire0=5400000.0,
+        hz_ire=1600000.0 / 100.0,
+    )
+
+
+def vhs_rf_params() -> RFParams:
+    """Tape RF filters (reference attic/vhs/vhs-decoder.py:277-284).
+
+    Video band 0.5-10 MHz order 2, post-demod LPF 4.4 MHz order 7; the
+    deemphasis constants (25, 600) reproduce the attic's final f_deemp
+    coefficients (vhs-decoder.py:184-186) to 3e-14 in our bilinear
+    one-pole/one-zero convention.
+    """
+    return RFParams(
+        audio_notchwidth=350000.0,
+        audio_notchorder=2,
+        video_deemp=(25.0, 600.0),
+        video_bpf=(500000.0, 10000000.0),
+        video_bpf_order=2,
+        video_lpf_freq=4400000.0,
+        video_lpf_order=7,
+    )
+
+
 def sys_params(system: str) -> SysParams:
     if system.upper() == 'NTSC':
         return ntsc_sys_params()
     if system.upper() == 'PAL':
         return pal_sys_params()
+    if system.upper() == 'VHS':
+        return vhs_sys_params()
     raise ValueError(f'unknown system {system!r}')
 
 
@@ -153,6 +194,8 @@ def rf_params(system: str) -> RFParams:
         return ntsc_rf_params()
     if system.upper() == 'PAL':
         return pal_rf_params()
+    if system.upper() == 'VHS':
+        return vhs_rf_params()
     raise ValueError(f'unknown system {system!r}')
 
 
