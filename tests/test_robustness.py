@@ -145,3 +145,21 @@ def test_cxadc_rate_field_decode():
     out_scale = float(0xc800 - 0x0400) / (100 - c.sys.vsync_ire)
     ire = (mid - 1024) / out_scale + c.sys.vsync_ire
     assert abs(np.median(ire) - 50.0) < 1.5, np.median(ire)
+
+
+def test_cli_ldview_preview(cfg, tmp_path):
+    """ldview_tpu.py (reference attic2/ldview): seek + one-frame PNG."""
+    samples = E.encode_frames(cfg, 6, E.EncodeSpec(pattern='bars',
+                                                   cav_start_frame=900))
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(samples).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import ldview_tpu
+    out = tmp_path / 'preview.png'
+    rc = ldview_tpu.main([str(lds), '902', str(out), '-d', '2'])
+    assert rc == 0
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape == (480, 744, 3)
+    assert img.max() > 100          # colorbars are bright
