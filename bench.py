@@ -29,13 +29,21 @@ def main():
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
 
-    # enough frames past the timed span that the DEPTH=3 x 8-field
-    # speculative lookahead (~12 frames) never clamps at the capture end
-    # mid-measurement (an EOF clamp flushes the whole in-flight chain)
-    nframes_cap = 60
-    samples = E.encode_frames(cfg, nframes_cap,
-                              E.EncodeSpec(pattern='ramp',
-                                           cav_start_frame=900))
+    # enough frames that warmup + 3 timed passes never hit EOF (an EOF
+    # clamp flushes the whole in-flight chain and poisons the pass).
+    # The synthetic encode runs ~3 s/frame on the host, so the capture is
+    # cached on disk across bench runs.
+    nframes_cap = 132
+    cache = os.path.expanduser(
+        f'~/.cache/ldd_tpu_bench_ntsc40_ramp_{nframes_cap}_v1.npy')
+    if os.path.exists(cache):
+        samples = np.load(cache)
+    else:
+        samples = E.encode_frames(cfg, nframes_cap,
+                                  E.EncodeSpec(pattern='ramp',
+                                               cav_start_frame=900))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.save(cache, samples)
     bank = F.make_demod_bank(cfg, dtype=np.complex64)
 
     samples_per_frame = cfg.freq_hz / cfg.sys.fps
@@ -55,32 +63,40 @@ def main():
     assert rv[0] is not None
     print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
 
-    # timed: continuous decode across the capture, restarting at the top
+    # timed: one continuous decode through the capture — no wraps, no
+    # warmup stock riding (the pass count x reps fits inside the capture).
+    # Three timed passes, median reported: the axon tunnel's transfer
+    # rate swings several-fold between runs (measured 7-335 s cumulative
+    # fetch wait for identical work), and the median de-noises that
+    # without hiding a real regression.
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    reps = 44
-    nframes = 0
-    t0 = time.time()
-    sample = start
-    first = True
-    for _ in range(reps):
-        rv = fr.readframe(None, sample, first)
-        if rv[0] is None:
-            sample, first = start, True
-            continue
-        sample = rv[2]
-        first = False
-        nframes += 1
-    dt = time.time() - t0
+    reps = 35
+    rates = []
+    sample = rv[2]
+    for p in range(3):
+        nframes = 0
+        t0 = time.time()
+        for _ in range(reps):
+            rv = fr.readframe(None, sample, False)
+            if rv[0] is None:
+                print('# EOF mid-pass (capture too short?)',
+                      file=sys.stderr)
+                break
+            sample = rv[2]
+            nframes += 1
+        dt = time.time() - t0
+        rates.append(nframes * samples_per_frame / dt / 1e6)
+        print(f'# pass {p}: {nframes} frames in {dt:.2f}s '
+              f'-> {rates[-1]:.2f} MSa/s', file=sys.stderr)
     if profile_dir:
         jax.profiler.stop_trace()
 
     if fr.prefetcher is not None:
         print(f'# prefetcher stats: {fr.prefetcher.stats}', file=sys.stderr)
-    msa_s = nframes * samples_per_frame / dt / 1e6
+    msa_s = sorted(rates)[1]
     baseline = 40.0
-    print(f'# {nframes} frames in {dt:.2f}s', file=sys.stderr)
     print(json.dumps({
         'metric': 'ntsc_demod_tbc_throughput',
         'value': round(msa_s, 2),

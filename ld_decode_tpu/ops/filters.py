@@ -83,6 +83,22 @@ class AudioFilterSpec:
     stage1_keep: int = dataclasses.field(metadata=dict(static=True))
 
 
+def deemp_ba(cfg: DecoderConfig):
+    """Video deemphasis as digital (b, a) — a bilinear-transformed
+    one-pole/one-zero pair (reference lddecode_core.py:185-189)."""
+    d0, d1 = cfg.rf.video_deemp
+    tf_b, tf_a = sps.zpk2tf(-d1 * (10 ** -10), -d0 * (10 ** -10), d0 / d1)
+    return sps.bilinear(tf_b, tf_a, 1.0 / cfg.freq_hz_half)
+
+
+def emp_ba(cfg: DecoderConfig):
+    """Inverse (emphasis) pair, used in test-signal generation
+    (reference lddecode_core.py:190-192, Femp)."""
+    d0, d1 = cfg.rf.video_deemp
+    tf_b, tf_a = sps.zpk2tf(-d0 * (10 ** -10), -d1 * (10 ** -10), d1 / d0)
+    return sps.bilinear(tf_b, tf_a, 1.0 / cfg.freq_hz_half)
+
+
 def design_video_filters(cfg: DecoderConfig) -> VideoFilterSpec:
     sp, dp = cfg.sys, cfg.rf
     n = cfg.blocklen
@@ -121,11 +137,8 @@ def design_video_filters(cfg: DecoderConfig) -> VideoFilterSpec:
 
     # Deemphasis as a bilinear-transformed one-pole/one-zero pair
     # (reference lddecode_core.py:185-192).
-    d0, d1 = dp.video_deemp
-    tf_b, tf_a = sps.zpk2tf(-d1 * (10 ** -10), -d0 * (10 ** -10), d0 / d1)
-    deemp = filtfft(sps.bilinear(tf_b, tf_a, 1.0 / fhz_half), n)
-    tf_b, tf_a = sps.zpk2tf(-d0 * (10 ** -10), -d1 * (10 ** -10), d1 / d0)
-    emp = filtfft(sps.bilinear(tf_b, tf_a, 1.0 / fhz_half), n)
+    deemp = filtfft(deemp_ba(cfg), n)
+    emp = filtfft(emp_ba(cfg), n)
 
     f_video = video_lpf * deemp
 

@@ -55,6 +55,14 @@ class FieldResult:
     audio_next_offset: float = 0.0
     vbi: Optional[dict] = None
     linecode: Optional[dict] = None
+    # Actual decode-window start (input samples).  The batched pipeline
+    # decodes speculative windows that can sit a few lines off the
+    # caller's request; `nextfieldoffset` is measured from THIS position,
+    # so advancing from the request instead would accumulate the
+    # prediction error (+0.25 line/field measured) until the chain
+    # flushes.  -1 = the window started exactly at the caller's request
+    # (sequential paths).
+    readsample: int = -1
 
 
 def hsync_stats(vals: np.ndarray) -> Tuple[float, float]:

@@ -95,7 +95,10 @@ class Framer:
                     return None, None, None
                 f = self.decoder.process(stream, self.mtf_level,
                                          self.audio_offset, self.full_decode)
-            nextsample = readsample + f.nextfieldoffset
+            # advance from the actual decode-window start (batched windows
+            # may sit a few lines off the request; see FieldResult.readsample)
+            base = f.readsample if f.readsample >= 0 else readsample
+            nextsample = base + f.nextfieldoffset
             if not f.valid:
                 if f.peak_count < 100:
                     # no recognizable data: jump 10s past possible spin-up

@@ -71,10 +71,20 @@ class FieldPrefetcher:
         cfg = decoder.cfg
         self.field_pitch = int(round(cfg.freq_hz / cfg.sys.fps / 2))
         self.tol = cfg.linelen * 20
+        # A window that starts EARLY still covers its field as long as
+        # the field plus the next vsync region fit in the remaining
+        # window: fields self-lock onto their own sync, so early slack is
+        # bounded by geometry, not by prediction accuracy.
+        window_lines = decoder.nblocks * cfg.block_keep / cfg.linelen_float
+        needed = cfg.sys.field_lines + 0.5 + 21   # field + vsync lookahead
+        self.tol_early = cfg.linelen * max(20.0,
+                                           min(window_lines - needed - 5,
+                                               100.0))
+        self._recent: deque = deque(maxlen=8)
         self.stats = {'refills': 0, 'hits': 0, 'flush_sample': 0,
                       'flush_mtf': 0, 'flush_audio': 0, 'seq_fallback': 0,
                       'batches': 0, 'flight_flush': 0,
-                      'pic_raw_fallback': 0,
+                      'pic_raw_fallback': 0, 'skips': 0, 'cache_hits': 0,
                       't_dispatch': 0.0, 't_fetch': 0.0, 't_unpack': 0.0}
         self.pipelined = pipelined
         # in-flight dispatched batches: [chunk_fetch_futures, next_start0_dev,
@@ -97,6 +107,17 @@ class FieldPrefetcher:
     def flush(self):
         self.queue.clear()
         self._flight.clear()
+
+    def _pos_match(self, entries, sample: int) -> Optional[int]:
+        """Index of the first entry whose decode window covers a field
+        starting at `sample`: the window may begin up to tol_early before
+        the field (geometry guarantees coverage) or tol after it (the
+        sync logic still locks within the standard prediction slack)."""
+        for k, e in enumerate(entries):
+            d = sample - e.readsample
+            if -self.tol <= d <= self.tol_early:
+                return k
+        return None
 
     # ------------------------------------------------------------------
 
@@ -170,7 +191,8 @@ class FieldPrefetcher:
                 True, nfo, istop=bool(istop), linecount=lc, tbcstart=nfo,
                 peak_count=npk, vsync_count=nvs, linelocs=linelocs,
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
-                vbi=interpret_philips(linecode), linecode=linecode)
+                vbi=interpret_philips(linecode), linecode=linecode,
+                readsample=rs)
             pic = FU.decode_picture_host(data, cfg)
             if pic is None:
                 # sparse plane overflowed (heavy noise/rot): pull this
@@ -199,26 +221,49 @@ class FieldPrefetcher:
         if not self.queue and self._flight:
             self.queue.extend(self._fetch_entries())
             self._schedule(mtf_level)
-        if self.queue:
-            e = self.queue[0]
+        while self.queue:
+            k = self._pos_match(self.queue, sample)
+            ahead = sample - self.queue[-1].readsample
+            if k is None and self._flight and self.tol < ahead \
+                    <= 2 * self.batch * self.field_pitch:
+                # request is a short way past the queue tail: the match
+                # may sit in the next in-flight batch (already eagerly
+                # fetched); bigger jumps (resync) flush instead
+                self.queue.extend(self._fetch_entries())
+                self._schedule(mtf_level)
+                continue
             # mtf tolerance well below the reference's 0.1 re-decode
             # threshold: a CAV mtf jump flushes the queue so batched and
             # sequential decodes see the same equalizer level
-            if (abs(e.readsample - sample) <= self.tol
-                    and abs(e.mtf_level - mtf_level) <= .02
-                    and abs(e.audio_offset - audio_offset) < 2e-5):
-                self.queue.pop(0)
-                self.stats['hits'] += 1
-                if not self.queue or len(self.queue) <= self.batch // 2:
-                    self._schedule(mtf_level)
-                return e.result
-            if abs(e.readsample - sample) > self.tol:
-                self.stats['flush_sample'] += 1
-            elif abs(e.mtf_level - mtf_level) > .02:
-                self.stats['flush_mtf'] += 1
+            if k is not None:
+                e = self.queue[k]
+                if (abs(e.mtf_level - mtf_level) <= .02
+                        and abs(e.audio_offset - audio_offset) < 2e-5):
+                    self.stats['skips'] += k
+                    del self.queue[:k]
+                    self.queue.pop(0)
+                    self._recent.append(e)
+                    self.stats['hits'] += 1
+                    if not self.queue or len(self.queue) <= self.batch // 2:
+                        self._schedule(mtf_level)
+                    return e.result
+                if abs(e.mtf_level - mtf_level) > .02:
+                    self.stats['flush_mtf'] += 1
+                else:
+                    self.stats['flush_audio'] += 1
             else:
-                self.stats['flush_audio'] += 1
+                # already-consumed field re-requested (e.g. frame pairing
+                # re-reads the field before the chain head)?
+                kc = self._pos_match(self._recent, sample)
+                if kc is not None:
+                    e = self._recent[kc]
+                    if (abs(e.mtf_level - mtf_level) <= .02
+                            and abs(e.audio_offset - audio_offset) < 2e-5):
+                        self.stats['cache_hits'] += 1
+                        return e.result
+                self.stats['flush_sample'] += 1
             self.flush()
+            break
         self._refill(sample, mtf_level, audio_offset)
         if not self.queue:
             return None
