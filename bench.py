@@ -77,25 +77,32 @@ def main():
     sample = rv[2]
     for p in range(3):
         nframes = 0
+        eof = False
         t0 = time.time()
         for _ in range(reps):
             rv = fr.readframe(None, sample, False)
             if rv[0] is None:
-                print('# EOF mid-pass (capture too short?)',
-                      file=sys.stderr)
+                eof = True
                 break
             sample = rv[2]
             nframes += 1
         dt = time.time() - t0
-        rates.append(nframes * samples_per_frame / dt / 1e6)
-        print(f'# pass {p}: {nframes} frames in {dt:.2f}s '
-              f'-> {rates[-1]:.2f} MSa/s', file=sys.stderr)
+        if nframes:
+            rates.append(nframes * samples_per_frame / dt / 1e6)
+            print(f'# pass {p}: {nframes} frames in {dt:.2f}s '
+                  f'-> {rates[-1]:.2f} MSa/s', file=sys.stderr)
+        if eof:
+            # capture exhausted: report what completed rather than
+            # letting zero-frame passes poison the median
+            print('# EOF mid-pass (capture too short?)', file=sys.stderr)
+            break
     if profile_dir:
         jax.profiler.stop_trace()
 
     if fr.prefetcher is not None:
         print(f'# prefetcher stats: {fr.prefetcher.stats}', file=sys.stderr)
-    msa_s = sorted(rates)[1]
+    assert rates, 'no pass completed any frames'
+    msa_s = sorted(rates)[len(rates) // 2]
     baseline = 40.0
     print(json.dumps({
         'metric': 'ntsc_demod_tbc_throughput',

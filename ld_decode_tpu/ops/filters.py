@@ -99,6 +99,47 @@ def emp_ba(cfg: DecoderConfig):
     return sps.bilinear(tf_b, tf_a, 1.0 / cfg.freq_hz_half)
 
 
+def v05_ba(cfg: DecoderConfig):
+    """0.5 MHz video FIR (reference lddecode_core.py:199-202)."""
+    return sps.firwin(65, [0.5 / cfg.freq_half], pass_zero=True), [1.0]
+
+
+def psync_ba(cfg: DecoderConfig):
+    """Sync-detector one-pole LPF (reference lddecode_core.py:211-214)."""
+    return sps.butter(1, 0.05 / cfg.freq_half, btype='low')
+
+
+def burst_ba(cfg: DecoderConfig):
+    """Color-burst bandpass fsc±0.1 MHz (reference lddecode_core.py:204)."""
+    fsc = cfg.sys.fsc_mhz
+    return sps.butter(1, [(fsc - .1) / cfg.freq_half,
+                          (fsc + .1) / cfg.freq_half], btype='bandpass')
+
+
+def pilot_ba(cfg: DecoderConfig):
+    """PAL pilot bandpass 3.7-3.8 MHz (reference lddecode_core.py:207)."""
+    return sps.butter(1, [3.7 / cfg.freq_half, 3.8 / cfg.freq_half],
+                      btype='bandpass')
+
+
+def audio_stage2_rate(cfg: DecoderConfig) -> float:
+    """Sample rate of the stage-2 decimated audio stream (Hz)."""
+    fdiv1 = 32 if cfg.freq_mhz >= 32 else 16
+    return cfg.freq_hz / (fdiv1 / 2) / 4
+
+
+def audio_lpf_ba(cfg: DecoderConfig):
+    """21 kHz stage-2 audio LPF (reference lddecode_core.py:262-271)."""
+    return sps.firwin(65, [21000 / (audio_stage2_rate(cfg) / 2)]), [1.0]
+
+
+def audio_deemp_ba(cfg: DecoderConfig):
+    """75 µs audio deemphasis (reference lddecode_core.py:274-279)."""
+    d75freq = 1e6 / (2 * np.pi * 75)
+    return sps.butter(1, [d75freq / (audio_stage2_rate(cfg) / 2)],
+                      btype='lowpass')
+
+
 def design_video_filters(cfg: DecoderConfig) -> VideoFilterSpec:
     sp, dp = cfg.sys, cfg.rf
     n = cfg.blocklen
@@ -142,22 +183,16 @@ def design_video_filters(cfg: DecoderConfig) -> VideoFilterSpec:
 
     f_video = video_lpf * deemp
 
-    f05_fir = sps.firwin(65, [0.5 / fhalf], pass_zero=True)
-    f05 = filtfft((f05_fir, [1.0]), n)
+    f05 = filtfft(v05_ba(cfg), n)
     f_video05 = f_video * f05
 
-    burst = filtfft(sps.butter(1, [(sp.fsc_mhz - .1) / fhalf,
-                                   (sp.fsc_mhz + .1) / fhalf],
-                               btype='bandpass'), n)
-    f_video_burst = f_video * burst
+    f_video_burst = f_video * filtfft(burst_ba(cfg), n)
 
     f_video_pilot = None
     if cfg.system == 'PAL':
-        pilot = filtfft(sps.butter(1, [3.7 / fhalf, 3.8 / fhalf],
-                                   btype='bandpass'), n)
-        f_video_pilot = f_video * pilot
+        f_video_pilot = f_video * filtfft(pilot_ba(cfg), n)
 
-    f_psync = filtfft(sps.butter(1, 0.05 / fhalf, btype='low'), n)
+    f_psync = filtfft(psync_ba(cfg), n)
 
     return VideoFilterSpec(
         rf_video=rf_video, mtf=mtf, f_video=f_video, f_video05=f_video05,
@@ -212,11 +247,8 @@ def design_audio_filters(cfg: DecoderConfig) -> AudioFilterSpec:
     fdiv2 = 4
     freq_aud2 = freq_arf / fdiv2
 
-    lpf2 = filtfft([sps.firwin(65, [21000 / (freq_aud2 / 2)]), [1.0]], n // fdiv2)
-
-    d75freq = 1e6 / (2 * np.pi * 75)
-    adeemp = sps.butter(1, [d75freq / (freq_aud2 / 2)], btype='lowpass')
-    deemp2 = filtfft(list(adeemp), n // fdiv2)
+    lpf2 = filtfft(list(audio_lpf_ba(cfg)), n // fdiv2)
+    deemp2 = filtfft(list(audio_deemp_ba(cfg)), n // fdiv2)
 
     # stage-1 decimation factor as realized by the slice: stage1_len samples
     # out per blocklen in.

@@ -58,8 +58,10 @@ def decode_vhs(samples: jnp.ndarray, bank: DemodBank, cfg: DecoderConfig,
     """Demodulate a tape RF stream: returns (video, audio) dicts.
 
     video: 'luma' (uint16, attic scale), 'demod' (Hz), 'demod_sync'
-    (sync-detector channel — tape linelocks can reuse the standard TBC
-    sync machinery).  audio: instantaneous carrier Hz per channel at the
+    (sync-detector channel: find_sync_peaks locks onto tape line pitch,
+    tests/test_vhs.py — but the full NTSC/PAL TBC does not accept the
+    VHS profile; a tape TBC would need its own field-parity/scale
+    branches).  audio: instantaneous carrier Hz per channel at the
     stage-1 decimated rate (empty dict when audio is disabled).
     """
     assert cfg.system == 'VHS', cfg.system
@@ -67,4 +69,4 @@ def decode_vhs(samples: jnp.ndarray, bank: DemodBank, cfg: DecoderConfig,
                                   jnp.float32(0.0))   # tape: no MTF
     video = dict(video)
     video['luma'] = luma_to_u16(cfg, video['demod'])
-    return video, audio
+    return video, dict(audio) if audio else {}

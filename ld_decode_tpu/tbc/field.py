@@ -85,6 +85,12 @@ class FieldDecoder:
     """
 
     def __init__(self, cfg: DecoderConfig, bank: DemodBank, nblocks: int = 66):
+        if cfg.system == 'VHS':
+            # the TBC's NTSC/PAL branches (field parity vote, lineoffset,
+            # u16 output scale, burst/pilot refinement) have no tape
+            # variants; the VHS profile is demod-level (tape/vhs.py)
+            raise ValueError("system='VHS' is demod-only: use "
+                             "ld_decode_tpu.tape.vhs, not the TBC")
         self.cfg = cfg
         self.bank = bank
         self.nblocks = nblocks

@@ -220,12 +220,22 @@ def findframe(infile, framer: Framer, target: int,
         else:
             tolerance = 0
             iscav = True
-        nextsample = (rv[2] if rv[2] is not None else nextsample) \
-            + int(cfg.freq_hz * 10)
+        if framer.vbi.get('framenr') is None:
+            # only jump the 10 s spin-up distance on a FAILED probe —
+            # jumping after a successful one would strand an early hit
+            # hundreds of frames past the target
+            nextsample = (rv[2] if rv[2] is not None else nextsample) \
+                + int(cfg.freq_hz * 10)
         retry -= 1
 
     if framer.vbi.get('framenr') is None:
         return None
+
+    if abs(target - framer.vbi['framenr']) <= tolerance:
+        # probe already landed on the target: point back at the frame the
+        # probe consumed (same alignment the jump loop below returns)
+        return rv[2] + samples_per_frame * (target - 1
+                                            - framer.vbi['framenr'])
 
     retry = 5
     while abs(target - framer.vbi['framenr']) > tolerance and retry:

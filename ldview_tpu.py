@@ -69,17 +69,16 @@ def main(argv=None):
 
     if args.pal:
         from ld_decode_tpu.comb.comb_pal import PALComb, CombPALConfig
-        comb = PALComb(CombPALConfig(dim=min(args.dim, 2), bw=args.bw))
-        rgb = comb.process(combined)
+        comb = PALComb(CombPALConfig(dim=args.dim, bw=args.bw))
     else:
         from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig
         comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw,
                                    wide=args.wide, opticalflow=False))
-        # dim-3 wants a 3-frame ring; a static ring of the same frame is
-        # exact for a single-frame preview (no motion -> pure temporal comb)
+    # dim-3 wants a 3-frame ring; a static ring of the same frame is
+    # exact for a single-frame preview (no motion -> pure temporal comb)
+    rgb = comb.process(combined)
+    while rgb is None:
         rgb = comb.process(combined)
-        while rgb is None:
-            rgb = comb.process(combined)
     rgb = np.asarray(rgb)
 
     try:

@@ -75,3 +75,14 @@ def test_inventory_reproduces_decode_designs():
         ib, ia = inv[f'deemp_{system.lower()}']
         np.testing.assert_array_equal(ib, np.atleast_1d(b))
         np.testing.assert_array_equal(ia, np.atleast_1d(a))
+
+
+def test_committed_header_is_current():
+    """native/ldd_filters.h ('do not edit') must equal the generator's
+    output — regenerate via `python -m ld_decode_tpu.utils.filtermaker`
+    whenever a filter design changes."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'native', 'ldd_filters.h')
+    want = FM.cpp_filter_tables(FM.design_inventory())
+    with open(path) as f:
+        assert f.read() == want

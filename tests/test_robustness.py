@@ -163,3 +163,28 @@ def test_cli_ldview_preview(cfg, tmp_path):
     img = np.asarray(Image.open(out))
     assert img.shape == (480, 744, 3)
     assert img.max() > 100          # colorbars are bright
+
+
+def test_findframe_early_hit(cfg):
+    """A probe that already lands on the target (or within CLV tolerance)
+    must return a position AT the frame, not 10 s past it."""
+    samples = E.encode_frames(cfg, 8, E.EncodeSpec(pattern='flat50',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr = FR.Framer(cfg, bank, capture=samples)
+    pos = FR.findframe(None, fr, 901, 33046)   # first probe reads ~900/901
+    assert pos is not None
+    assert pos < len(samples)                  # not stranded past EOF
+    rv = fr.readframe(None, pos, False)
+    assert rv[0] is not None
+    assert abs(fr.vbi['framenr'] - 901) <= 1
+
+
+def test_vhs_profile_rejected_by_tbc(cfg):
+    """The VHS profile is demod-only; the TBC refuses it loudly instead
+    of silently taking PAL branches."""
+    from ld_decode_tpu.tape.vhs import vhs_config, make_vhs_bank
+    vcfg = vhs_config()
+    bank = F.make_demod_bank(vcfg, np.complex64)
+    with pytest.raises(ValueError, match='demod-only'):
+        FR.Framer(vcfg, bank, capture=np.zeros(10_000_000, np.uint16))
