@@ -100,3 +100,47 @@ def test_batched_pal_matches_sequential():
         n += 1
     assert n == 2
     assert fr_bat.vbi['framenr'] == fr_seq.vbi['framenr'] is not None
+
+
+def test_codec_overflow_falls_back_to_raw():
+    """A field whose delta residuals overflow the picture codec's sparse
+    plane (heavy wideband noise) must ship via the device-resident raw
+    fallback, and the batched pipeline must keep decoding through it."""
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    spec = E.EncodeSpec(pattern='ramp', cav_start_frame=900)
+    samples = E.encode_frames(cfg, 4, spec).astype(np.float32)
+    # wideband noise over frame 2's span: FM demod turns it into heavy
+    # picture noise, blowing the 3.5% sparse budget for those fields
+    spf = int(cfg.freq_hz / cfg.sys.fps)
+    rng = np.random.default_rng(3)
+    lo, hi = int(spf * 1.35), int(spf * 2.2)
+    noisy = samples.copy()
+    noisy[lo:hi] += rng.normal(0.0, 120.0, hi - lo).astype(np.float32)
+    noisy = np.clip(noisy, 0, 1023).astype(np.uint16)
+
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr_seq = FR.Framer(cfg, bank, capture=noisy)
+    fr_bat = FR.Framer(cfg, bank, capture=noisy, batch=6)
+    s1 = s2 = 33046
+    outs = []
+    for i in range(3):
+        rv1 = fr_seq.readframe(None, s1, i == 0)
+        rv2 = fr_bat.readframe(None, s2, i == 0)
+        if rv1[0] is None or rv2[0] is None:
+            break
+        outs.append((rv1[0], rv2[0], s1))
+        s1, s2 = rv1[2], rv2[2]
+    assert len(outs) >= 2
+    assert fr_bat.prefetcher.stats['pic_raw_fallback'] >= 1, \
+        fr_bat.prefetcher.stats
+    # heavy noise makes line refinement legitimately window-sensitive
+    # (sequential and batched paths analyze different windows), so the
+    # assertions here are about the FALLBACK MECHANISM: the batched
+    # pipeline must keep producing full-size, non-degenerate frames
+    # through the noise burst.  (Clean-content window-exactness is
+    # pinned by test_batched_frames_match; the codec's bit-exact
+    # round-trip by tests/test_pic_codec.py.)
+    for a, b, s in outs:
+        a = a.reshape(-1, 910)
+        b = b.reshape(-1, 910)
+        assert b.shape == a.shape and b.any()
