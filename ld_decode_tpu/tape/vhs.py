@@ -21,9 +21,10 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+import scipy.signal as sps
 
 from ld_decode_tpu.ops import demod as D
-from ld_decode_tpu.ops.filters import DemodBank, make_demod_bank
+from ld_decode_tpu.ops.filters import DemodBank, filtfft, make_demod_bank
 from ld_decode_tpu.utils.params import DecoderConfig
 
 # u16 output scale (reference attic/vhs/vhs-decoder.py:263-268)
@@ -70,3 +71,75 @@ def decode_vhs(samples: jnp.ndarray, bank: DemodBank, cfg: DecoderConfig,
     video = dict(video)
     video['luma'] = luma_to_u16(cfg, video['demod'])
     return video, dict(audio) if audio else {}
+
+
+# ---------------------------------------------------------------------------
+# Color-under chroma (beyond the reference: the attic experiment was
+# luma-only).  VHS records chroma by heterodyning the fsc-centred band
+# down to 40*f_H = 629.37 kHz (NTSC) and adding it to the tape signal as
+# baseband AM below the luma FM carrier.  Recovery is the inverse
+# heterodyne: lowpass the RF, multiply by the conversion carrier, and
+# bandpass the product back at fsc for the standard comb machinery.
+
+def color_under_freq(cfg: DecoderConfig) -> float:
+    """NTSC VHS down-converted chroma carrier: 40 x line rate (Hz)."""
+    return 40.0 * 1e6 / cfg.sys.line_period
+
+
+def encode_color_under(cfg: DecoderConfig, chroma_at_fsc: np.ndarray,
+                       phase0: float = 0.0) -> np.ndarray:
+    """Heterodyne an fsc-centred chroma signal down to the color-under
+    band (what a VHS recorder writes): x * 2cos(2pi(fsc - f_cu)t),
+    lowpassed below luma.  Host-side fixture helper (float64 phase)."""
+    fs = cfg.freq_hz
+    f_conv = cfg.sys.fsc_mhz * 1e6 - color_under_freq(cfg)
+    t = np.arange(len(chroma_at_fsc), dtype=np.float64) / fs
+    mixed = chroma_at_fsc * 2.0 * np.cos(2 * np.pi * f_conv * t + phase0)
+    b, a = sps.butter(3, 1.2e6 / (fs / 2), btype='low')
+    return sps.filtfilt(b, a, mixed)
+
+
+def recover_color_under(samples: jnp.ndarray, cfg: DecoderConfig,
+                        blocklen: int = None, phase0: float = 0.0
+                        ) -> jnp.ndarray:
+    """Tape RF -> chroma restored at fsc (device compute).
+
+    Lowpass below the luma FM carrier isolates the color-under band;
+    multiplying by the conversion carrier relocates it to fsc (plus an
+    image at fsc - 2*f_cu that the output bandpass rejects).  The
+    conversion carrier here is a free-running oscillator with `phase0`;
+    a production tape TBC would phase-lock it to the recovered burst
+    per line (which also cancels head-switch phase rotation) — that
+    lock is the tape-TBC work this module's docstring scopes out.
+    """
+    n = len(samples)
+    fs = cfg.freq_hz
+    f_cu = color_under_freq(cfg)
+    f_conv = cfg.sys.fsc_mhz * 1e6 - f_cu
+    fsc = cfg.sys.fsc_mhz * 1e6
+
+    # FFT-domain filters over the whole buffer (fixture-scale lengths;
+    # the streaming form would reuse the overlap-save block machinery).
+    # Applied zero-phase (|H|^2, the frequency-domain filtfilt): an IIR
+    # phase lag at 629 kHz would otherwise transfer straight into the
+    # recovered chroma phase (hue) through the heterodyne.
+    # bandpass, not lowpass: DC/hum in the tape signal would otherwise
+    # mix onto the conversion carrier frequency right at the output
+    # band edge and swamp the restored chroma
+    cu_lpf = filtfft(sps.butter(3, [1e5 / (fs / 2), 1.2e6 / (fs / 2)],
+                                btype='bandpass'), n)
+    cu_lpf = (cu_lpf * np.conj(cu_lpf)).real
+    out_bpf = filtfft(sps.butter(4, [(fsc - 5e5) / (fs / 2),
+                                     (fsc + 5e5) / (fs / 2)],
+                                 btype='bandpass'), n)
+    out_bpf = (out_bpf * np.conj(out_bpf)).real
+    # f64 host phase (f32 cos args overflow precision after ~0.1 s)
+    t = np.arange(n, dtype=np.float64) / fs
+    carrier = jnp.asarray((2.0 * np.cos(2 * np.pi * f_conv * t + phase0)
+                           ).astype(np.float32))
+
+    x = jnp.fft.irfft(jnp.fft.rfft(samples.astype(jnp.float32))
+                      * jnp.asarray(cu_lpf[:n // 2 + 1]), n)
+    up = x * carrier
+    return jnp.fft.irfft(jnp.fft.rfft(up)
+                         * jnp.asarray(out_bpf[:n // 2 + 1]), n)

@@ -88,3 +88,39 @@ def test_vhs_sync_channel_locks(vhs_decode):
     line_gaps = gaps[(gaps > cfg.linelen * 0.9) & (gaps < cfg.linelen * 1.1)]
     assert line_gaps.size > 0.7 * gaps.size
     assert abs(np.median(line_gaps) - cfg.linelen_float) < 2.0
+
+
+def test_vhs_color_under_roundtrip():
+    """Color-under chroma (beyond the attic's luma-only experiment):
+    an fsc-band chroma signal written at 629 kHz next to the luma FM
+    carrier is recovered back at fsc with its amplitude and phase."""
+    cfg = V.vhs_config()
+    fs = cfg.freq_hz
+    fsc = cfg.sys.fsc_mhz * 1e6
+    n = 1 << 19
+
+    # ground truth: amplitude- and phase-modulated chroma at fsc
+    t = np.arange(n, dtype=np.float64) / fs
+    amp = 1.0 + 0.3 * np.sin(2 * np.pi * 500.0 * t)      # slow envelope
+    phi = 0.6 * np.sin(2 * np.pi * 300.0 * t)            # hue wobble
+    chroma = amp * np.cos(2 * np.pi * fsc * t + phi)
+
+    # tape signal: luma FM at flat 50 IRE + color-under chroma + audio off
+    hz = np.full(n, cfg.iretohz(50.0))
+    rf = np.cos(np.cumsum(hz) * (2 * np.pi / fs))
+    cu = V.encode_color_under(cfg, chroma)
+    tape = (rf * 350.0 + 0.25 * 350.0 * cu + 512.0)
+
+    got = np.asarray(V.recover_color_under(
+        jnp.asarray(tape.astype(np.float32)), cfg), np.float64)
+    got = got / (0.25 * 350.0)
+
+    # compare in the middle (filtfilt/FFT edge transients at both ends)
+    sl = slice(n // 8, -n // 8)
+    ref = chroma[sl]
+    out = got[sl]
+    # scale-free correlation: > 0.98 means amplitude AND phase track
+    corr = np.dot(ref, out) / np.sqrt(np.dot(ref, ref) * np.dot(out, out))
+    assert corr > 0.98, corr
+    # absolute amplitude within 10% (filter passband ripple)
+    assert abs(np.sqrt(np.mean(out**2) / np.mean(ref**2)) - 1) < 0.10
