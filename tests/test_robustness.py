@@ -188,3 +188,28 @@ def test_vhs_profile_rejected_by_tbc(cfg):
     bank = F.make_demod_bank(vcfg, np.complex64)
     with pytest.raises(ValueError, match='demod-only'):
         FR.Framer(vcfg, bank, capture=np.zeros(10_000_000, np.uint16))
+
+
+def test_cli_ldexport_rgb(cfg, tmp_path):
+    """ldexport_tpu.py (reference encode-ntsc): .tbc+.pcm -> RGB48 + CX
+    audio (raw-file branch; no ffmpeg in this image)."""
+    samples = E.encode_frames(cfg, 3, E.EncodeSpec(pattern='bars',
+                                                   cav_start_frame=900))
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(samples).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import lddecode_tpu
+    import ldexport_tpu
+    rc = lddecode_tpu.main([str(lds), str(tmp_path / 'dec'), '-l', '2'])
+    assert rc == 0
+    rc = ldexport_tpu.main([str(tmp_path / 'dec.tbc'),
+                            str(tmp_path / 'mov'), '-d', '2',
+                            '-a', str(tmp_path / 'dec.pcm')])
+    assert rc == 0
+    rgb = np.fromfile(tmp_path / 'mov.rgb', '<u2')
+    frame_px = 480 * 744 * 3
+    assert rgb.size % frame_px == 0 and rgb.size >= frame_px
+    assert rgb.max() > 10000            # colorbars are bright
+    pcm = np.fromfile(tmp_path / 'mov.audio.pcm', '<i2')
+    assert pcm.size > 3000
