@@ -213,3 +213,30 @@ def test_cli_ldexport_rgb(cfg, tmp_path):
     assert rgb.max() > 10000            # colorbars are bright
     pcm = np.fromfile(tmp_path / 'mov.audio.pcm', '<i2')
     assert pcm.size > 3000
+
+
+def test_cli_cut_mode(cfg, tmp_path):
+    """lddecode_tpu.py -c (reference lddecode.py:65-81): re-encode a
+    frame range to .r16, which must itself decode to those frames."""
+    samples = E.encode_frames(cfg, 6, E.EncodeSpec(pattern='flat50',
+                                                   cav_start_frame=900))
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(samples).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import lddecode_tpu
+    rc = lddecode_tpu.main([str(lds), str(tmp_path / 'cut'),
+                            '-S', '902', '-E', '904', '-c'])
+    assert rc == 0
+    r16 = np.fromfile(tmp_path / 'cut.r16', '<i2')
+    spf = int(cfg.freq_hz / cfg.sys.fps)
+    assert spf < r16.size < 4 * spf           # ~2 frames + margin
+
+    # the cut decodes on its own and lands on the requested range
+    rc = lddecode_tpu.main([str(tmp_path / 'cut.r16'),
+                            str(tmp_path / 'out'), '-l', '1'])
+    assert rc == 0
+    tbc = np.fromfile(tmp_path / 'out.tbc', np.uint16)
+    assert len(tbc) == 910 * 525
+    framenr = (int(tbc[14]) << 16) | int(tbc[15])
+    assert 901 <= framenr <= 904, framenr
