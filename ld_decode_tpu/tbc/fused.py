@@ -209,7 +209,7 @@ def decode_picture_host(data: Dict[str, np.ndarray], cfg: DecoderConfig
         z[data['pic_hi_idx'][:n_hi]] |= nibs[:n_hi] << 12
     d = ((z >> 1) ^ -(z & 1)).reshape(L, Wp)       # un-zigzag
     r = np.cumsum(d, axis=1)                        # undo horizontal lag-1
-    x = r.copy()
+    x = np.empty_like(r)
     for c in range(k):                              # vertical chains
         x[c::k] = np.cumsum(r[c::k], axis=0)
     return (x[:, :W] & 0xFFFF).astype(np.uint16).reshape(-1)
@@ -775,7 +775,7 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
     `start0`/`audio_offset0` are device scalars and the chained
     (next_start0, next_offset0) come back as device scalars, so
     consecutive speculative batches chain device-to-device: the prefetcher
-    keeps two in flight and the ~25 ms tunnel transfer of batch k overlaps
+    keeps DEPTH (3) in flight and the tunnel transfer of batch k overlaps
     the compute of batch k+1 with no host synchronization between them."""
     from ld_decode_tpu.tbc import sync_dev as SD
 

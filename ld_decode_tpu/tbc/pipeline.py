@@ -44,19 +44,6 @@ class _Entry:
     audio_offset: float
 
 
-def chain_audio_offset(offset: float, linecount: int, line_period: float,
-                       freq: float = 48000.0) -> float:
-    """Replicates fused._downscale_audio_dev's float32 arithmetic exactly
-    (op order included) so host-predicted offsets match the device chain
-    bit-for-bit."""
-    f = np.float32
-    frametime = f(f(f(line_period) * f(linecount)) / f(1e6))
-    gap = f(1.0 / freq)
-    count = int(np.ceil(f(f(f(frametime + gap) - f(offset)) / gap)))
-    count = max(count, 1)
-    return float(f(f(f(offset) + f(f(count - 1) * gap)) - frametime))
-
-
 class FieldPrefetcher:
     """Supplies FieldResults to the Framer from device-chained batches."""
 
@@ -106,6 +93,12 @@ class FieldPrefetcher:
 
     def flush(self):
         self.queue.clear()
+        # cancel fetches that have not started yet — completed/running
+        # transfers cannot be stopped, but queued ones must not hold the
+        # D2H link or executor workers hostage ahead of the new chain
+        for fl in self._flight:
+            for fut in fl[0]:
+                fut.cancel()
         self._flight.clear()
 
     def _pos_match(self, entries, sample: int) -> Optional[int]:
@@ -200,8 +193,10 @@ class FieldPrefetcher:
                 self.stats['pic_raw_fallback'] += 1
                 pic = np.asarray(raw_pic[b])
             r.dspicture = pic[:lc * W]
-            nout = (int(data['audio_count'][0]) - 1) * 2
-            r.dsaudio = data['audio'][:nout]
+            if dec.bank.has_audio:
+                nout = (int(data['audio_count'][0]) - 1) * 2
+                r.dsaudio = data['audio'][:nout]
+            # else leave dsaudio None, like the sequential path
             r.audio_next_offset = float(data['audio_next_offset'][0])
             out.append(_Entry(rs, r, mtf, float(data['meta_f'][0])))
         if not clean and self._flight:
@@ -237,11 +232,15 @@ class FieldPrefetcher:
             # sequential decodes see the same equalizer level
             if k is not None:
                 e = self.queue[k]
+                # audio tolerance: the chain is deterministic f32
+                # arithmetic, so any real divergence is at least one
+                # 48 kHz tick (2.08e-5); 1e-7 absorbs only float noise
                 if (abs(e.mtf_level - mtf_level) <= .02
-                        and abs(e.audio_offset - audio_offset) < 2e-5):
+                        and abs(e.audio_offset - audio_offset) < 1e-7):
                     self.stats['skips'] += k
-                    del self.queue[:k]
-                    self.queue.pop(0)
+                    for skipped in self.queue[:k]:
+                        self._recent.append(skipped)
+                    del self.queue[:k + 1]
                     self._recent.append(e)
                     self.stats['hits'] += 1
                     if not self.queue or len(self.queue) <= self.batch // 2:
@@ -258,7 +257,7 @@ class FieldPrefetcher:
                 if kc is not None:
                     e = self._recent[kc]
                     if (abs(e.mtf_level - mtf_level) <= .02
-                            and abs(e.audio_offset - audio_offset) < 2e-5):
+                            and abs(e.audio_offset - audio_offset) < 1e-7):
                         self.stats['cache_hits'] += 1
                         return e.result
                 self.stats['flush_sample'] += 1
@@ -268,6 +267,7 @@ class FieldPrefetcher:
         if not self.queue:
             return None
         entry = self.queue.pop(0)
+        self._recent.append(entry)
         return entry.result
 
     # ------------------------------------------------------------------
