@@ -117,6 +117,27 @@ def pack_data_3_32(samples: np.ndarray) -> np.ndarray:
     return words.astype('<u4')
 
 
+def load_available(loader, infile, sample: int, readlen: int,
+                   min_len: int) -> Optional[np.ndarray]:
+    """`loader(infile, sample, n)` for the largest n <= readlen that the
+    file still satisfies (loaders return None on short reads, per the
+    reference contract lddutils.py:117-129).  Bisects in O(log) loader
+    calls; returns None if even `min_len` samples aren't there."""
+    data = loader(infile, sample, readlen)
+    if data is not None:
+        return data
+    lo, hi = min_len, readlen          # hi known-bad, lo to test
+    if loader(infile, sample, lo) is None:
+        return None
+    while hi - lo > max(min_len // 16, 4096):
+        mid = (lo + hi) // 2
+        if loader(infile, sample, mid) is None:
+            hi = mid
+        else:
+            lo = mid
+    return loader(infile, sample, lo)
+
+
 def make_array_loader(arr: np.ndarray):
     """Loader over an in-memory sample array (tests, bench)."""
     def loader(_infile, sample: int, readlen: int) -> Optional[np.ndarray]:

@@ -91,6 +91,18 @@ class FieldDecoder:
             # variants; the VHS profile is demod-level (tape/vhs.py)
             raise ValueError("system='VHS' is demod-only: use "
                              "ld_decode_tpu.tape.vhs, not the TBC")
+        # the analysis window must cover one full field plus the next
+        # field's vsync region, or the decode silently fails to lock
+        # (PAL fields are 800k samples at 40 MSa/s — they need more
+        # blocks than NTSC's 667k)
+        need_lines = cfg.sys.field_lines + 0.5 + 21
+        window_lines = nblocks * cfg.block_keep / cfg.linelen_float
+        if window_lines < need_lines:
+            raise ValueError(
+                f'nblocks={nblocks} gives a {window_lines:.0f}-line window '
+                f'but a {cfg.system} field needs >= {need_lines:.0f} lines '
+                f'(use nblocks >= '
+                f'{int(np.ceil(need_lines * cfg.linelen_float / cfg.block_keep))})')
         self.cfg = cfg
         self.bank = bank
         self.nblocks = nblocks

@@ -23,18 +23,28 @@ class Framer:
     def __init__(self, cfg: DecoderConfig, bank: DemodBank,
                  loader: Callable = None, full_decode: bool = True,
                  nblocks: int = 66, capture: np.ndarray = None,
-                 batch: int = 1, despackle: bool = False):
+                 batch: int = 1, despackle: bool = False,
+                 segment_samples: int = 0):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
         speculative field-batch prefetcher (tbc/pipeline.py): two device
         round trips per BATCH of fields; audio carry then advances per
-        field rather than per frame."""
+        field rather than per frame.
+
+        loader + batch>1 + segment_samples>0 is the SEGMENTED fast path
+        for captures too large for HBM: the framer keeps a sliding
+        device-resident window of `segment_samples` samples, swaps it as
+        decode/seek positions move (one prefetcher flush per swap — a
+        segment is minutes of video, so the amortized cost is nil), and
+        runs the same batched pipeline inside each segment."""
         self.cfg = cfg
         self.bank = bank
         self.loader = loader
         self.capture_dev = None
         self.prefetcher = None
+        self._seg_samples = 0
+        self._seg_base = 0
         if capture is not None:
             import jax
             self.capture_dev = jax.device_put(
@@ -42,10 +52,20 @@ class Framer:
         self.full_decode = full_decode
         self.despackle = despackle
         self.decoder = FieldDecoder(cfg, bank, nblocks)
-        if self.capture_dev is not None and batch > 1:
+        if batch > 1 and (self.capture_dev is not None
+                          or (loader is not None and segment_samples > 0)):
             from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
             self.prefetcher = FieldPrefetcher(self.decoder, self.capture_dev,
                                               batch)
+            if self.capture_dev is None:
+                # lookahead the chain needs resident beyond any request
+                horizon = ((self.prefetcher.DEPTH + 1) * batch
+                           * self.prefetcher.field_pitch
+                           + D.stream_len(cfg, nblocks))
+                self._seg_samples = max(int(segment_samples), 2 * horizon)
+                self._seg_horizon = horizon
+                self._seg_base = -1          # nothing loaded yet
+                self._seg_eof = False
         self.nblocks = nblocks
 
         self.outwidth = cfg.sys.outlinelen
@@ -70,12 +90,41 @@ class Framer:
             return np.concatenate([np.zeros(-start, data.dtype), data])
         return self.loader(infile, start, n)
 
+    def _ensure_segment(self, infile, sample: int) -> bool:
+        """Segmented mode: make [sample, sample+horizon) device-resident.
+        Returns False at end of file (nothing loadable at `sample`)."""
+        if self._seg_samples == 0:
+            return True
+        n_stream = D.stream_len(self.cfg, self.nblocks)
+        lo = self._seg_base
+        seg_len = 0 if self.capture_dev is None else self.capture_dev.shape[0]
+        if lo >= 0 and lo + self.cfg.blockcut <= sample and (
+                sample + self._seg_horizon <= lo + seg_len
+                # at the file tail no reload can extend coverage: accept
+                # while one decode window still fits
+                or (self._seg_eof and sample - lo + n_stream <= seg_len)):
+            return True
+        import jax
+        from ld_decode_tpu.io.loaders import load_available
+        base = max(int(sample) - self.cfg.blockcut - 8 * self.cfg.linelen, 0)
+        data = load_available(self.loader, infile, base,
+                              self._seg_samples, n_stream)
+        if data is None or len(data) < n_stream:
+            return False
+        self._seg_eof = len(data) < self._seg_samples
+        self.capture_dev = jax.device_put(np.asarray(data, dtype=np.uint16))
+        self._seg_base = base
+        self.prefetcher.set_capture(self.capture_dev, base)
+        return True
+
     def readfield(self, infile, sample: int):
         """(reference lddecode_core.py:1194-1223)."""
         cfg = self.cfg
         readsample = int(sample)
         while True:
             if self.prefetcher is not None:
+                if not self._ensure_segment(infile, readsample):
+                    return None, None, None
                 f = self.prefetcher.get(readsample, self.mtf_level,
                                         self.audio_offset)
                 if f is None:

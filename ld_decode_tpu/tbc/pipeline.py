@@ -53,6 +53,12 @@ class FieldPrefetcher:
                  pipelined: bool = True):
         self.decoder = decoder
         self.capture = capture_dev
+        # absolute file sample of capture[0]: all public positions
+        # (get()'s `sample`, entry readsamples) are absolute; device
+        # windows are capture-relative.  Nonzero in segmented mode
+        # (framer.py), where `capture` is a sliding resident window of a
+        # file too large for HBM.
+        self.base = 0
         self.batch = batch
         self.queue: List[_Entry] = []
         cfg = decoder.cfg
@@ -100,6 +106,14 @@ class FieldPrefetcher:
             for fut in fl[0]:
                 fut.cancel()
         self._flight.clear()
+
+    def set_capture(self, capture_dev, base: int):
+        """Swap in a new resident segment (absolute file offset `base`).
+        The in-flight chain is relative to the old buffer, so it flushes;
+        the recently-consumed cache stays valid (absolute positions)."""
+        self.flush()
+        self.capture = capture_dev
+        self.base = int(base)
 
     def _pos_match(self, entries, sample: int) -> Optional[int]:
         """Index of the first entry whose decode window covers a field
@@ -174,6 +188,7 @@ class FieldPrefetcher:
                 clean = False
                 break
             prev_rs = rs
+            rs_abs = rs + self.base
             linelocs = (data['linelocs_i'].astype(np.float64)
                         + data['linelocs_f'].astype(np.float64))[:nlines]
             linecode = {}
@@ -185,7 +200,7 @@ class FieldPrefetcher:
                 peak_count=npk, vsync_count=nvs, linelocs=linelocs,
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
-                readsample=rs)
+                readsample=rs_abs)
             pic = FU.decode_picture_host(data, cfg)
             if pic is None:
                 # sparse plane overflowed (heavy noise/rot): pull this
@@ -198,7 +213,7 @@ class FieldPrefetcher:
                 r.dsaudio = data['audio'][:nout]
             # else leave dsaudio None, like the sequential path
             r.audio_next_offset = float(data['audio_next_offset'][0])
-            out.append(_Entry(rs, r, mtf, float(data['meta_f'][0])))
+            out.append(_Entry(rs_abs, r, mtf, float(data['meta_f'][0])))
         if not clean and self._flight:
             # downstream in-flight batches chained off garbage state
             self._flight.clear()
@@ -279,7 +294,7 @@ class FieldPrefetcher:
         cfg = dec.cfg
         n_stream = D.stream_len(cfg, dec.nblocks)
         smax = self.capture.shape[0] - n_stream + cfg.blockcut
-        s0 = max(int(sample), cfg.blockcut)
+        s0 = max(int(sample) - self.base, cfg.blockcut)
         if s0 > smax:
             return
         self.flush()
@@ -293,8 +308,11 @@ class FieldPrefetcher:
             # resync/invalid paths exactly)
             self._flight.clear()
             self.stats['seq_fallback'] += 1
-            r = self.decoder.process_resident(self.capture, int(sample),
+            r = self.decoder.process_resident(self.capture,
+                                              int(sample) - self.base,
                                               mtf_level, audio_offset, True)
             if r is not None:
+                if r.readsample >= 0:
+                    r.readsample += self.base
                 self.queue.append(_Entry(int(sample), r, mtf_level,
                                          audio_offset))

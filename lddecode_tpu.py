@@ -34,6 +34,13 @@ def parse_args(argv=None):
                    help='source is in NTSC format')
     p.add_argument('-c', '--cut', action='store_true',
                    help='cut (to r16) instead of decode')
+    p.add_argument('--batch', type=int, default=8,
+                   help='speculative field-batch size for the device '
+                        'pipeline (1 = sequential reference-style decode)')
+    p.add_argument('--segment-mb', type=int, default=512,
+                   help='device-resident capture window, MB of u16 '
+                        'samples (the batched pipeline decodes inside a '
+                        'sliding HBM segment of the file)')
     p.add_argument('--f64', action='store_true',
                    help='run the filter bank at float64 (CPU only)')
     return p.parse_args(argv)
@@ -67,7 +74,13 @@ def main(argv=None):
         else infile_size // bytes_per_frame - args.start
 
     fd = open(args.infile, 'rb')
-    framer = FR.Framer(cfg, bank, loader)
+    if args.batch > 1:
+        # segmented fast path: batched device pipeline over a sliding
+        # HBM-resident window of the capture
+        framer = FR.Framer(cfg, bank, loader, batch=args.batch,
+                           segment_samples=args.segment_mb * (1 << 20) // 2)
+    else:
+        framer = FR.Framer(cfg, bank, loader)
 
     if args.seek >= 0:
         nextsample = FR.findframe(fd, framer, args.seek,
