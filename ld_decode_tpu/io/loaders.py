@@ -145,7 +145,32 @@ def make_array_loader(arr: np.ndarray):
         if sample < 0 or sample + readlen > len(arr):
             return None
         return arr[sample:sample + readlen]
+    loader.total_samples = len(arr)
     return loader
+
+
+# samples per byte for each loader, (num, den): used to compute how many
+# samples a file holds without probe reads (see file_samples)
+_SAMPLES_PER_BYTE = {
+    load_packed_4_40: (4, 5),
+    load_packed_3_32: (3, 4),
+    load_s16: (1, 2),
+    load_u8: (1, 1),
+}
+
+
+def file_samples(loader, infile) -> Optional[int]:
+    """Total samples `loader` can produce from `infile`, from the file
+    size alone (None for loaders without a known byte ratio)."""
+    ratio = _SAMPLES_PER_BYTE.get(loader)
+    if ratio is None:
+        return getattr(loader, 'total_samples', None)
+    pos = infile.tell()
+    infile.seek(0, os.SEEK_END)
+    nbytes = infile.tell()
+    infile.seek(pos)
+    num, den = ratio
+    return nbytes * num // den
 
 
 def loader_for_path(path: str):

@@ -52,6 +52,8 @@ class Framer:
         self.full_decode = full_decode
         self.despackle = despackle
         self.decoder = FieldDecoder(cfg, bank, nblocks)
+        if loader is not None and batch > 1 and segment_samples <= 0:
+            segment_samples = 256 << 20      # 512 MB of u16 by default
         if batch > 1 and (self.capture_dev is not None
                           or (loader is not None and segment_samples > 0)):
             from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
@@ -66,6 +68,7 @@ class Framer:
                 self._seg_horizon = horizon
                 self._seg_base = -1          # nothing loaded yet
                 self._seg_eof = False
+                self._seg_valid = 0
         self.nblocks = nblocks
 
         self.outwidth = cfg.sys.outlinelen
@@ -97,7 +100,7 @@ class Framer:
             return True
         n_stream = D.stream_len(self.cfg, self.nblocks)
         lo = self._seg_base
-        seg_len = 0 if self.capture_dev is None else self.capture_dev.shape[0]
+        seg_len = self._seg_valid if self.capture_dev is not None else 0
         if lo >= 0 and lo + self.cfg.blockcut <= sample and (
                 sample + self._seg_horizon <= lo + seg_len
                 # at the file tail no reload can extend coverage: accept
@@ -105,16 +108,37 @@ class Framer:
                 or (self._seg_eof and sample - lo + n_stream <= seg_len)):
             return True
         import jax
-        from ld_decode_tpu.io.loaders import load_available
+        from ld_decode_tpu.io.loaders import file_samples, load_available
         base = max(int(sample) - self.cfg.blockcut - 8 * self.cfg.linelen, 0)
-        data = load_available(self.loader, infile, base,
-                              self._seg_samples, n_stream)
+        avail = file_samples(self.loader, infile)
+        if avail is not None:
+            n = min(self._seg_samples, avail - base)
+            data = self.loader(infile, base, n) if n >= n_stream else None
+        else:
+            # unknown-ratio loader: bisect the largest satisfiable read
+            data = load_available(self.loader, infile, base,
+                                  self._seg_samples, n_stream)
         if data is None or len(data) < n_stream:
             return False
         self._seg_eof = len(data) < self._seg_samples
-        self.capture_dev = jax.device_put(np.asarray(data, dtype=np.uint16))
+        self._seg_valid = len(data)
+        arr = np.asarray(data)
+        if np.issubdtype(arr.dtype, np.signedinteger):
+            # .r16 captures are signed, zero-centred; the device capture
+            # is uint16 (a DC shift is invisible to the FM demod's RF
+            # bandpass, but a wraparound is not)
+            arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
+        else:
+            arr = arr.astype(np.uint16)
+        if len(arr) < self._seg_samples:
+            # keep the device shape constant across segments: jit
+            # specializes on shape, and a one-off tail length would
+            # recompile the whole fused pipeline (7-600 s cold)
+            arr = np.pad(arr, (0, self._seg_samples - len(arr)))
+        self.capture_dev = jax.device_put(arr)
         self._seg_base = base
-        self.prefetcher.set_capture(self.capture_dev, base)
+        self.prefetcher.set_capture(self.capture_dev, base,
+                                    valid_len=self._seg_valid)
         return True
 
     def readfield(self, infile, sample: int):

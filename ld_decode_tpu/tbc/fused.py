@@ -764,7 +764,8 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
                          bank: DemodBank, cfg: DecoderConfig, nblocks: int,
                          n_audio1: int, batch: int, field_pitch: int,
                          colorlevel: float = 1.45,
-                         colorphase: float = 91.5, pallas: bool = False):
+                         colorphase: float = 91.5, pallas: bool = False,
+                         valid_len=None):
     """The whole speculative field batch as ONE jitted call + ONE D2H.
 
     Demod + sync peaks, device-side vsync voting and line numbering
@@ -780,7 +781,13 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
     from ld_decode_tpu.tbc import sync_dev as SD
 
     n_stream = D.stream_len(cfg, nblocks)
-    smax = capture.shape[0] - n_stream + cfg.blockcut
+    # valid_len (traced scalar) marks real samples when the capture
+    # buffer is zero-padded to a constant shape (segmented file tail);
+    # windows clamp at the REAL end so EOF keeps its duplicate-start
+    # semantics instead of decoding the pad
+    if valid_len is None:
+        valid_len = capture.shape[0]
+    smax = jnp.asarray(valid_len, jnp.int32) - (n_stream - cfg.blockcut)
     starts = jnp.clip(
         jnp.asarray(start0, jnp.int32)
         + jnp.arange(batch, dtype=jnp.int32) * field_pitch,

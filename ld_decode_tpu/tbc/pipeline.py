@@ -59,6 +59,8 @@ class FieldPrefetcher:
         # (framer.py), where `capture` is a sliding resident window of a
         # file too large for HBM.
         self.base = 0
+        self.valid_len = (capture_dev.shape[0]
+                          if capture_dev is not None else 0)
         self.batch = batch
         self.queue: List[_Entry] = []
         cfg = decoder.cfg
@@ -107,13 +109,17 @@ class FieldPrefetcher:
                 fut.cancel()
         self._flight.clear()
 
-    def set_capture(self, capture_dev, base: int):
+    def set_capture(self, capture_dev, base: int, valid_len: int = None):
         """Swap in a new resident segment (absolute file offset `base`).
         The in-flight chain is relative to the old buffer, so it flushes;
-        the recently-consumed cache stays valid (absolute positions)."""
+        the recently-consumed cache stays valid (absolute positions).
+        `valid_len` marks real samples when the buffer is zero-padded to
+        a constant shape (file tail)."""
         self.flush()
         self.capture = capture_dev
         self.base = int(base)
+        self.valid_len = (int(valid_len) if valid_len is not None
+                          else capture_dev.shape[0])
 
     def _pos_match(self, entries, sample: int) -> Optional[int]:
         """Index of the first entry whose decode window covers a field
@@ -142,7 +148,7 @@ class FieldPrefetcher:
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase,
-            pallas=self._pallas)
+            pallas=self._pallas, valid_len=jnp.int32(self.valid_len))
         # eager-fetch every chunk now: each np.asarray blocks its worker
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
@@ -293,7 +299,7 @@ class FieldPrefetcher:
         dec = self.decoder
         cfg = dec.cfg
         n_stream = D.stream_len(cfg, dec.nblocks)
-        smax = self.capture.shape[0] - n_stream + cfg.blockcut
+        smax = self.valid_len - n_stream + cfg.blockcut
         s0 = max(int(sample) - self.base, cfg.blockcut)
         if s0 > smax:
             return

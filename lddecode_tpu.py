@@ -108,14 +108,14 @@ def main(argv=None):
     out_audio = open(args.outfile + '.pcm', 'wb')
 
     for f in range(num_frames):
-        if fd.tell() + bytes_per_frame * 1.05 > infile_size:
-            if args.length is not None:
-                print('Warning: end of file before requested frame count',
-                      file=sys.stderr)
-            break
+        # EOF is signalled by the framer itself (fd.tell() is useless
+        # here: the segmented framer reads a whole segment ahead)
         combined, audio, nextsample, fields = framer.readframe(
             fd, nextsample, f == 0)
         if combined is None:
+            if args.length is not None and f < num_frames - 1:
+                print('Warning: end of file before requested frame count',
+                      file=sys.stderr)
             break
         print(f'frame {framer.vbi.get("framenr")}', file=sys.stderr)
         out_video.write(combined.tobytes())

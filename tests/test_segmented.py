@@ -39,7 +39,6 @@ def _decode_frames(fr, fd, n, start=33046):
 def test_segmented_matches_resident(capture):
     cfg, samples, path = capture
     bank = F.make_demod_bank(cfg, np.complex64)
-    spf = int(cfg.freq_hz / cfg.sys.fps)
 
     fr_res = FR.Framer(cfg, bank, capture=samples, batch=2)
     ref = _decode_frames(fr_res, None, 8)
@@ -69,7 +68,6 @@ def test_segmented_seek(capture):
     """findframe across segment boundaries (backward + forward jumps)."""
     cfg, samples, path = capture
     bank = F.make_demod_bank(cfg, np.complex64)
-    spf = int(cfg.freq_hz / cfg.sys.fps)
     loader = L.loader_for_path(str(path))
     fr = FR.Framer(cfg, bank, loader=loader, batch=2,
                    segment_samples=1)
