@@ -280,14 +280,25 @@ def circ_encode(audio_bytes: np.ndarray) -> np.ndarray:
     return s3.astype(np.uint8)
 
 
-def circ_decode(frames: np.ndarray):
+def circ_decode(frames: np.ndarray, bad_mask: np.ndarray = None):
     """frames: (nframes, 32) uint8 channel frames -> dict with
     'audio' (nvalid, 24) uint8, per-frame C1/C2 stats and erasure flags.
 
-    Frames damaged beyond 2 errors (C1) propagate erasure flags into C2,
-    which corrects up to 4 erasures per word."""
+    `bad_mask` (nframes, 32) marks symbols the EFM demod could not
+    decode: C1 treats them as erasures (2e + f <= 4), doubling the
+    correction power on known-bad symbols vs. guessing.  Frames damaged
+    beyond that propagate erasure flags into C2, which corrects up to 4
+    erasures per word."""
     nf = frames.shape[0]
     fr = frames.astype(np.int32)
+
+    # route the known-bad positions through the same stage-3 deinterleave
+    # the data takes, so they land on the right C1 codeword symbols
+    bad3 = np.zeros((nf, 32), bool)
+    if bad_mask is not None:
+        b = np.asarray(bad_mask, bool)
+        bad3[:, 0::2] = b[:, 0::2]
+        bad3[:nf - 1, 1::2] = b[1:, 1::2]
 
     # undo stage 3
     u3 = np.zeros((nf, 32), np.int32)
@@ -302,7 +313,11 @@ def circ_decode(frames: np.ndarray):
     c1_out = np.zeros((nf, 28), np.int32)
     c1_flag = np.ones((nf, 28), bool)
     for i in range(nf - 1):          # last frame lacks its odd bytes
-        out, ncorr = rs_decode_word(u3[i], [], 2)
+        ers = np.nonzero(bad3[i])[0].tolist()
+        if len(ers) > 4:
+            c1_out[i] = u3[i, :28]   # beyond C1: all symbols stay flagged
+            continue
+        out, ncorr = rs_decode_word(u3[i], ers, 2)
         if out is not None:
             c1_out[i] = out[:28]
             c1_flag[i] = False

@@ -292,7 +292,9 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
     controls = np.array([f[1] for f in frames], np.int16)
     payload = np.stack([f[2] for f in frames])      # (nframes, 32), -1 bad
     chan = np.where(payload < 0, 0, payload).astype(np.uint8)
-    dec = C.circ_decode(chan)
+    # EFM-undecodable symbols are known-bad: hand them to C1 as erasures
+    # (2e + f <= 4) instead of letting RS re-discover them as errors
+    dec = C.circ_decode(chan, bad_mask=payload < 0)
     return {
         'samples': C.audio_to_samples(dec['audio']),
         'controls': controls,

@@ -53,6 +53,10 @@ class CombConfig:
     black_ire: float = 7.5
     p_3dcore: float = 1.25     # no-opticalflow defaults (comb-ntsc.cxx:1078)
     p_3drange: float = 5.5
+    # optical-flow gate thresholds, in FLOW PIXELS, not IRE
+    # (comb-ntsc.cxx:1074-1076: core 0.0, range 0.5 when f_opticalflow)
+    of_3dcore: float = 0.0
+    of_3drange: float = 0.5
     wide: bool = False
     linesout: int = 480
     use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
@@ -242,7 +246,7 @@ def split3d(raw: jnp.ndarray, prev_raw: jnp.ndarray, next_raw: jnp.ndarray,
     clp2 = ((prev_raw + next_raw) / 2.0) - raw
 
     __k = jnp.abs(prev_raw - next_raw) * 2.0
-    lp = _causal_fir(__k, FILTERS['lp3d'], 4)
+    lp = _causal_fir(__k, FILTERS['lp3d'], 13)   # fed only for h>12
     # _k[h-8] = lp(h) for h in 13..839; _k[h] = __k[h] for h >= 836;
     # elsewhere the reference reads uninitialized stack (UB) — we use 0.
     h = jnp.arange(IN_X)[None, :]
@@ -375,10 +379,10 @@ def to_rgb(y, i, q, raw, aburstlev, cfg: CombConfig):
     aburstlev, levels = jax.lax.scan(ema, aburstlev, burstlev[first:])
     gain = 10.0 / levels                              # (rows,)
 
-    rows = slice(first, first + cfg.linesout)
-    yv = y[first:first + cfg.linesout]
-    iv = i[first:first + cfg.linesout] * gain[:cfg.linesout, None]
-    qv = q[first:first + cfg.linesout] * gain[:cfg.linesout, None]
+    nrows = min(cfg.linesout, IN_Y - first)
+    yv = y[first:first + nrows]
+    iv = i[first:first + nrows] * gain[:nrows, None]
+    qv = q[first:first + nrows] * gain[:nrows, None]
 
     y_ire = jnp.where(yv == 0, -100.0, -40.0 + (yv - IREBASE) / IRESCALE)
     y2 = (y_ire - cfg.black_ire) * (100.0 / (100.0 - cfg.black_ire))
@@ -390,7 +394,12 @@ def to_rgb(y, i, q, raw, aburstlev, cfg: CombConfig):
     b = y2 - (1.106 * ii) + (1.703 * qq)
     m = cfg.brightness * 256 / 100
     rgb = jnp.stack([r, g, b], axis=-1) * m
-    return jnp.clip(rgb, 0, 65535).astype(jnp.uint16), aburstlev
+    rgb = jnp.clip(rgb, 0, 65535).astype(jnp.uint16)
+    if nrows < cfg.linesout:
+        # linesout=525 with firstline=20: the reference zero-fills the
+        # tail rows it never computes — keep the promised output shape
+        rgb = jnp.pad(rgb, ((0, cfg.linesout - nrows), (0, 0), (0, 0)))
+    return rgb, aburstlev
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
@@ -406,8 +415,12 @@ def flow_luma(raw_u16, cfg: CombConfig):
     clp1, k1, k0 = split2d(clp0, z, cfg.adaptive2d)
     y, i, q = split_iq(raw, (z, clp1, clp0), (z, k1, k0), invert_col, cfg)
     y, i, q = adjust_y(y, i, q, invert_col, cfg)
-    ycfg = CombConfig(dim=cfg.dim, nr_y=max(cfg.nr_y, 4.0),
-                      nr_c=max(cfg.nr_c, 4.0), linesout=cfg.linesout)
+    # the reference's DoYNR/DoCNR 'min 4' floor is in raw units against
+    # the already-irescaled nr (1 IRE = 358.4), so it never binds for
+    # normal settings — floor at 4 RAW counts, not 4 IRE
+    ycfg = CombConfig(dim=cfg.dim, nr_y=max(cfg.nr_y, 4.0 / IRESCALE),
+                      nr_c=max(cfg.nr_c, 4.0 / IRESCALE),
+                      linesout=cfg.linesout)
     y = do_ynr(y, ycfg)
     return y
 
@@ -511,7 +524,6 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
         i, q = filter_iq(i, q, cfg)
 
     # VBI pass-through (comb-ntsc.cxx:876-882)
-    vbi_rows = _row_mask(20, 44) & _col_mask(4, 840)
     # rows 20..43 copied up by 20: y[l-20] = raw[l]
     raw_sh = jnp.concatenate([raw[20:], raw[:20]], axis=0)
     vbi_dst = _row_mask(0, 24) & _col_mask(4, 840)
@@ -562,7 +574,7 @@ class NTSCComb:
                 y_now = np.asarray(flow_luma(frame, cfg))
                 self._of_combk2 = farneback_combk2(
                     y_now, self._of_prev, self._of_flows, self._of_count,
-                    cfg.p_3dcore, cfg.p_3drange, cfg.optflow_engine)
+                    cfg.of_3dcore, cfg.of_3drange, cfg.optflow_engine)
                 self._of_count += 1
             if len(self.ring) < 3:
                 self.framecount += 1

@@ -271,7 +271,13 @@ class PALComb:
         self.cfg = cfg
         self._ring: list = []
 
-    def process(self, framebuf: np.ndarray) -> np.ndarray:
+    def process(self, framebuf: np.ndarray):
+        """RGB for one input frame, or None while the dim-3 ring fills.
+
+        dim-3 emits with one-frame latency: frame 0 comes back 2D
+        immediately, frame k-1 comes back 3D on process(frame k), and
+        flush() returns the final frame (2D).  Every frame is emitted
+        exactly once, in order."""
         frame = jnp.asarray(np.asarray(framebuf).reshape(PAL_Y, PAL_X))
         if self.cfg.dim < 3:
             rgb, _ = comb_pal_frame(frame, self.cfg)
@@ -279,8 +285,19 @@ class PALComb:
         self._ring.append(frame)
         if len(self._ring) > 3:
             self._ring.pop(0)
-        if len(self._ring) < 3:
-            return None                  # warmup, like the NTSC driver
+        if len(self._ring) == 1:
+            rgb, _ = comb_pal_frame(frame, self.cfg)     # first frame: 2D
+            return np.asarray(rgb)
+        if len(self._ring) == 2:
+            return None                  # frame 1 pending its successor
         prev, cur, nxt = self._ring
         rgb, _ = comb_pal_frame(cur, self.cfg, prev, nxt)
+        return np.asarray(rgb)
+
+    def flush(self):
+        """Emit the final pending frame (2D — it has no successor), or
+        None if nothing is pending."""
+        if self.cfg.dim < 3 or len(self._ring) < 2:
+            return None
+        rgb, _ = comb_pal_frame(self._ring[-1], self.cfg)
         return np.asarray(rgb)

@@ -278,6 +278,17 @@ def calc_optical_flow_farneback(
     """Drop-in equivalent of cv2.calcOpticalFlowFarneback (returns the
     (H, W, 2) float32 displacement of prev->next in x,y order)."""
     h, w = prev_img.shape
+    # OpenCV caps the pyramid so every level keeps both dims >= 32 px
+    # (calcOpticalFlowFarneback min_size); without the cap the coarse
+    # levels of the comb's 252-row field images degenerate into
+    # mostly-border box blurs and seed the finer levels differently
+    k, scale = 0, 1.0
+    while k < levels:
+        scale *= pyr_scale
+        if h * scale < 32 or w * scale < 32:
+            break
+        k += 1
+    levels = k
     if flow is None or not use_initial_flow:
         flow0 = jnp.zeros((h, w, 2), jnp.float32)
         use_init = False

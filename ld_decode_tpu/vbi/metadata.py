@@ -34,15 +34,13 @@ def nibbles_to_code(nibbles: Optional[List[int]]) -> int:
 
 
 def status_cx_enabled(status: Optional[int]) -> bool:
-    """CX stereo/bilingual flag from the programme status code
-    (reference app/tbc/interpretvbi.cpp sound-mode table: x8xDxx family;
-    bit 3 of nibble x2 signals CX noise reduction on)."""
+    """CX flag from the programme status code: 0x8DCxxx codes signal CX
+    on, 0x8BAxxx off (reference app/tbc/interpretvbi.cpp:167:
+    isCxOn = (line16 & 0x0DC000) == 0x0DC000; same test as
+    vbi/iec60857.py's 'cx' field)."""
     if status is None:
         return False
-    # status = 0x8dcXXX / 0x8baXXX; CX is bit 0x008000>>... use the
-    # documented position: nibble 4 (x2) bit 3
-    x2 = (status >> 8) & 0xF
-    return bool(x2 & 0x8)
+    return (status & 0x0DC000) == 0x0DC000
 
 
 def white_flag(dspicture: np.ndarray, outlinelen: int, linecount: int,

@@ -137,17 +137,20 @@ def slice_philips_dev(win, rel0, usec: float, ire50: float):
         s = start.astype(jnp.int32)          # host int() truncation; s >= 0
         inb = (s >= 0) & (s < W)
         sc = jnp.clip(s, 0, W - 1)
-        seg = jax.lax.dynamic_slice(win, (jnp.clip(sc, 0, W - span_i),),
-                                    (span_i,))
+        # the slice start clamps at W-span_i near the window end, so
+        # address seg[] by its TRUE sample index s0+k (a search starting
+        # within span_i of the end would otherwise misreport positions)
+        s0 = jnp.clip(sc, 0, max(W - span_i, 0))
+        seg = jax.lax.dynamic_slice(win, (s0,), (span_i,))
         first = win[sc]
         rising = first < ire50
         cond = jnp.where(rising, seg >= ire50, seg <= ire50)
-        # restrict to the true segment length (count+1 <= span_i)
         k = jnp.arange(span_i)
-        cond = cond & (k < count_c) & (sc + k < W)
+        idx = s0 + k
+        cond = cond & (idx >= sc) & (idx - sc < count_c) & (idx < W)
         found = jnp.any(cond) & inb
         fidx = jnp.argmax(cond)
-        x = sc + fidx
+        x = s0 + fidx
         found = found & (x > 0)
         xm = jnp.clip(x, 1, W - 1)
         a = win[xm - 1] - ire50

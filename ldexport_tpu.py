@@ -101,6 +101,12 @@ def main(argv=None):
             out_f.write(np.ascontiguousarray(rgb).tobytes())
             nframes += 1
 
+    if hasattr(comb, 'flush'):
+        tail = comb.flush()
+        if tail is not None:
+            out_f.write(np.ascontiguousarray(tail).tobytes())
+            nframes += 1
+
     out_f.close()
     if sink:
         sink.wait()

@@ -109,3 +109,28 @@ def test_circ_burst_error_via_erasures():
     dec = C.circ_decode(tx.astype(np.uint8))
     lo, hi = FLUSH, nf - FLUSH
     assert (dec['audio'][lo:hi] == audio[lo:hi]).all()
+
+
+def test_circ_c1_erasures_beat_errors():
+    """Known-bad symbol positions (EFM demod failures) passed as C1
+    erasures: 3-4 flagged symbols per frame fully correct (2e+f<=4),
+    where the same damage as unknown errors (>2) would not."""
+    nf = 300
+    audio, _ = _pcm_frames(nf, seed=11)
+    tx = C.circ_encode(audio).astype(np.int32)
+    rng = np.random.default_rng(12)
+    bad = np.zeros_like(tx, bool)
+    lo, hi = FLUSH, nf - FLUSH
+    hit = rng.choice(np.arange(lo, hi), 40, replace=False)
+    for fi in hit:
+        cols = rng.choice(32, 3, replace=False)     # 3 bad symbols/frame
+        tx[fi, cols] ^= rng.integers(1, 256, 3)
+        bad[fi, cols] = True
+
+    # without the erasure hints, 3 unknown errors exceed C1's t=2
+    dec_plain = C.circ_decode(tx.astype(np.uint8))
+    assert not dec_plain['c1_ok'][hit].all()
+
+    # with them, every frame corrects and the audio round-trips exactly
+    dec = C.circ_decode(tx.astype(np.uint8), bad_mask=bad)
+    assert (dec['audio'][lo:hi] == audio[lo:hi]).all()

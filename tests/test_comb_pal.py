@@ -96,9 +96,13 @@ def test_pal_comb_3d_static_hues(pal_frames3):
     and reproduce the same colorbar hues as 2D."""
     comb = PALComb(CombPALConfig(dim=3))
     out = [comb.process(f) for f in pal_frames3]
-    assert out[0] is None and out[1] is None
+    # one-frame-latency protocol: frame 0 comes back 2D immediately,
+    # frame 1 is pending (3D) and arrives on process(frame 2)
+    assert out[0] is not None and out[1] is None
     rgb = out[2]
     assert rgb.shape == (576, PAL_X, 3)
+    tail = comb.flush()                  # final frame, 2D
+    assert tail is not None and tail.shape == (576, PAL_X, 3)
     bars = _bar_means(rgb)
     assert bars[0].mean() > bars[4].mean() > bars[6].mean()
     r1, g1, b1 = bars[1]
