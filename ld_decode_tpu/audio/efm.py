@@ -13,8 +13,10 @@ CD decode chain (ECMA-130 / IEC 60908):
   * per-frame subcode/control byte separation and payload extraction
   * the ECMA-130 sector descrambler as a precomputed LFSR sequence
 
-Error correction (CIRC C1/C2 Reed-Solomon) and full sector assembly are
-not implemented yet (the reference has neither).
+Error correction (CIRC C1/C2 Reed-Solomon, errors-and-erasures) lives
+in `ld_decode_tpu.audio.circ` and Q-subcode decode in
+`ld_decode_tpu.audio.subcode`; together with this front-end they form
+the full digital-audio chain (the reference prototype had neither).
 
 EFM_CODES holds the 256 standardized 14-bit channel patterns from
 IEC 60908 (public standard constants), indexed by data byte value.

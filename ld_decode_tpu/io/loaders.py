@@ -183,3 +183,17 @@ def loader_for_path(path: str):
         '.raw': load_u8,
         '.u8': load_u8,
     }.get(ext, load_packed_4_40)
+
+
+def bytes_per_sample_for_path(path: str) -> float:
+    """On-disk bytes per sample for the format `loader_for_path` picks.
+    (The reference hardcoded 5/4 regardless of format, lddecode.py:41-42,
+    so its frame-count estimate was wrong for .r30/.r16/.raw inputs.)"""
+    ext = os.path.splitext(path)[1].lower()
+    return {
+        '.lds': 5 / 4,
+        '.r30': 4 / 3,
+        '.r16': 2.0,
+        '.raw': 1.0,
+        '.u8': 1.0,
+    }.get(ext, 5 / 4)

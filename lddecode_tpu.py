@@ -43,13 +43,19 @@ def parse_args(argv=None):
                         'sliding HBM segment of the file)')
     p.add_argument('--f64', action='store_true',
                    help='run the filter bank at float64 (CPU only)')
+    p.add_argument('-q', '--quiet', action='store_true',
+                   help='warnings and errors only')
+    p.add_argument('-d', '--debug', action='store_true',
+                   help='debug output (per-frame progress percentage)')
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from ld_decode_tpu.utils import log
+    log.configure_from_flags(quiet=args.quiet, debug=args.debug)
     if args.pal and args.ntsc:
-        print('ERROR: Can only be PAL or NTSC', file=sys.stderr)
+        log.critical('Can only be PAL or NTSC')
         return 1
 
     from ld_decode_tpu.utils.params import DecoderConfig
@@ -64,11 +70,12 @@ def main(argv=None):
     loader = L.loader_for_path(args.infile)
 
     samples_per_frame = int(cfg.freq_hz / cfg.sys.fps) + 1
-    bytes_per_frame = samples_per_frame * 5 // 4
+    bytes_per_sample = L.bytes_per_sample_for_path(args.infile)
+    bytes_per_frame = int(samples_per_frame * bytes_per_sample)
 
     infile_size = os.path.getsize(args.infile)
     if (infile_size // bytes_per_frame - args.start) < 2:
-        print('Error: start frame is past end of file', file=sys.stderr)
+        log.critical('start frame is past end of file')
         return 1
     num_frames = args.length if args.length is not None \
         else infile_size // bytes_per_frame - args.start
@@ -86,7 +93,7 @@ def main(argv=None):
         nextsample = FR.findframe(fd, framer, args.seek,
                                   args.start * samples_per_frame)
         if nextsample is None:
-            print('SEEK ERROR: unable to find a usable frame', file=sys.stderr)
+            log.critical('SEEK ERROR: unable to find a usable frame')
             return 1
     else:
         nextsample = args.start * samples_per_frame
@@ -114,10 +121,11 @@ def main(argv=None):
             fd, nextsample, f == 0)
         if combined is None:
             if args.length is not None and f < num_frames - 1:
-                print('Warning: end of file before requested frame count',
-                      file=sys.stderr)
+                log.warning('end of file before requested frame count')
             break
-        print(f'frame {framer.vbi.get("framenr")}', file=sys.stderr)
+        log.info(f'frame {framer.vbi.get("framenr")}')
+        if log.get_level() <= log.DEBUG:
+            log.progress(nextsample * bytes_per_sample, infile_size)
         out_video.write(combined.tobytes())
         if audio is not None:
             out_audio.write(audio.tobytes())

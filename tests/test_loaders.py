@@ -74,3 +74,13 @@ def test_oracle_loader_parity(tmp_path):
         ref = lddutils.load_packed_data_4_40(f, 1001, 8000)
         ours = L.load_packed_4_40(f, 1001, 8000)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
+
+
+def test_bytes_per_sample_for_path():
+    """On-disk density used by the CLI's frame-count/progress math."""
+    assert L.bytes_per_sample_for_path('x.lds') == 5 / 4
+    assert L.bytes_per_sample_for_path('x.r30') == 4 / 3
+    assert L.bytes_per_sample_for_path('x.r16') == 2.0
+    assert L.bytes_per_sample_for_path('x.raw') == 1.0
+    assert L.bytes_per_sample_for_path('x.u8') == 1.0
+    assert L.bytes_per_sample_for_path('noext') == 5 / 4
