@@ -41,8 +41,8 @@ from ld_decode_tpu.models import encode as E
 from ld_decode_tpu.tbc import framer as FR
 from ld_decode_tpu.utils import filtertools as FT
 
-OUTDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      'devbook_out')
+OUTDIR = os.environ.get('LDD_DEVBOOK_OUT') or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'devbook_out')
 os.makedirs(OUTDIR, exist_ok=True)
 
 
@@ -64,7 +64,7 @@ def show(fig, name):
 #
 # ```python
 # from ld_decode_tpu.io import loaders as L
-# CAPTURE = ('/captures/ve-snw-cut.lds', L.load_packed_data_4_40)
+# CAPTURE = ('/captures/ve-snw-cut.lds', L.load_packed_4_40)
 # ```
 
 # %%
@@ -78,6 +78,14 @@ else:
     path, loader = CAPTURE
     with open(path, 'rb') as fd:
         samples = loader(fd, 0, 4_200_000)
+    if samples is None:
+        raise SystemExit(f'{path}: short read — need 4.2 M samples '
+                         '(~105 ms of 40 MSa/s capture)')
+    # Signed loaders (.r16) are zero-centred; Framer recentres them
+    # itself, but the spectrum/QA cells below expect unsigned-style
+    # data too, so recentre here once.
+    if np.issubdtype(np.asarray(samples).dtype, np.signedinteger):
+        samples = (np.asarray(samples, np.int32) + 32768).astype(np.uint16)
 print(f'{len(samples) / 1e6:.1f} M samples @ {cfg.freq_mhz} MSa/s '
       f'({len(samples) / cfg.freq_mhz / 1e6:.2f} s of disc)')
 
@@ -88,8 +96,9 @@ print(f'{len(samples) / 1e6:.1f} M samples @ {cfg.freq_mhz} MSa/s '
 # the two analog audio carriers at 2.301/2.812 MHz.
 
 # %%
-freqs, db = FT.capture_spectrum(samples[:262144].astype(np.float64),
-                                freq_mhz=cfg.freq_mhz)
+freqs, psd = FT.capture_spectrum(samples[:262144].astype(np.float64),
+                                 freq_mhz=cfg.freq_mhz)
+db = 10 * np.log10(np.maximum(psd, 1e-30))
 fig, ax = plt.subplots(figsize=(9, 3.2))
 ax.plot(freqs, db, lw=0.7)
 for f_mhz, label in [(2.301136, 'audio L'), (2.812499, 'audio R'),

@@ -47,8 +47,12 @@ class Framer:
         self._seg_base = 0
         if capture is not None:
             import jax
-            self.capture_dev = jax.device_put(
-                np.asarray(capture, dtype=np.uint16))
+            arr = np.asarray(capture)
+            if np.issubdtype(arr.dtype, np.signedinteger):
+                # .r16 captures are signed, zero-centred; recentre like
+                # the segment loader path below does
+                arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
+            self.capture_dev = jax.device_put(arr.astype(np.uint16))
         self.full_decode = full_decode
         self.despackle = despackle
         self.decoder = FieldDecoder(cfg, bank, nblocks)

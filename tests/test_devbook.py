@@ -14,13 +14,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_devbook_runs_and_renders(tmp_path):
-    env = dict(os.environ, LDD_DEVBOOK_CPU='1', MPLBACKEND='Agg')
+    outdir = str(tmp_path)
+    env = dict(os.environ, LDD_DEVBOOK_CPU='1', MPLBACKEND='Agg',
+               LDD_DEVBOOK_OUT=outdir)
     env.pop('DISPLAY', None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'docs', 'devbook.py')],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-3000:]
-    outdir = os.path.join(REPO, 'docs', 'devbook_out')
     for name in ('spectrum.png', 'lines_38_39.png', 'lineloc_diffs.png',
                  'raw_frame.png', 'rgb_preview.png'):
         p = os.path.join(outdir, name)
