@@ -38,6 +38,14 @@ FREQ4 = 4 * 315.0 / 88.0
 IRESCALE = 358.4          # comb-ntsc.cxx:60
 IREBASE = 0x400
 
+# frame line-0 flag word bits (reference ld-decoder.h:246-252)
+FRAME_INFO_CLV = 0x1
+FRAME_INFO_CAV_EVEN = 0x4
+FRAME_INFO_CAV_ODD = 0x8
+FRAME_INFO_CX = 0x10
+FRAME_INFO_WHITE_ODD = 0x100
+FRAME_INFO_WHITE_EVEN = 0x200
+
 
 @dataclass(frozen=True)
 class CombConfig:
@@ -545,6 +553,51 @@ def comb_frame_of(raw_u16, newest_u16, combk2, aburstlev, cfg: CombConfig):
                        combk2_in=combk2)
 
 
+class PulldownAssembler:
+    """3:2 pulldown film-frame reassembly (reference comb-ntsc.cxx:894-938,
+    the `-p` flag at :1009).
+
+    CAV picture-number / white-flag field parity in the frame's line-0
+    flag word decides whether a video frame is a whole film frame
+    (fstart==0 -> emit it), the odd-field start of one (fstart==1 ->
+    hold its odd lines), or — when an odd frame is pending — the even
+    half that completes it (merge current even lines into the held
+    frame and emit).  Frames carrying no parity flags (fstart==-1) are
+    the 3:2 redundancy and are dropped.  White flags outrank CAV flags,
+    exactly like the reference's two if/else chains."""
+
+    def __init__(self):
+        self._odd = None           # held frame with valid odd lines
+        self._framecode = 0        # CAV picture number of the held frame
+
+    def process(self, rgb: np.ndarray, words: np.ndarray):
+        """rgb: (rows, w, 3) uint16 comb output; words: that frame's 16
+        line-0 metadata words (raw TBC line 0 / `frame_metadata_words`).
+        Returns a list of (frame, framecode) emissions (0, 1, or 2)."""
+        emits = []
+        if self._odd is not None:
+            merged = self._odd
+            merged[0::2] = np.asarray(rgb)[0::2]
+            emits.append((merged, self._framecode))
+            self._odd = None
+        flags = int(words[13])
+        fstart = -1
+        if flags & FRAME_INFO_CAV_ODD:
+            fstart = 1
+        elif flags & FRAME_INFO_CAV_EVEN:
+            fstart = 0
+        if flags & FRAME_INFO_WHITE_ODD:
+            fstart = 1
+        elif flags & FRAME_INFO_WHITE_EVEN:
+            fstart = 0
+        self._framecode = (int(words[14]) << 16) | int(words[15])
+        if fstart == 0:
+            emits.append((np.asarray(rgb).copy(), self._framecode))
+        elif fstart == 1:
+            self._odd = np.asarray(rgb).copy()
+        return emits
+
+
 class NTSCComb:
     """Stateful frame-at-a-time driver mirroring `Comb::Process`
     (comb-ntsc.cxx:834-938): 3-frame ring for dim 3, AGC carry, crop."""
@@ -558,6 +611,10 @@ class NTSCComb:
         self._of_flows = {}
         self._of_count = 0
         self._of_combk2 = None
+        # line-0 metadata words of the frame the last process() output
+        # corresponds to (lags the input by one frame in dim-3 mode);
+        # the pulldown assembler keys off these (comb-ntsc.cxx:911-921)
+        self.last_frame_words = np.zeros(16, np.uint16)
 
     def process(self, framebuf: np.ndarray) -> Optional[np.ndarray]:
         """framebuf: (525*910,) or (525,910) uint16.  Returns RGB48
@@ -580,6 +637,7 @@ class NTSCComb:
                 self.framecount += 1
                 return None
             nxt, cur, prv = self.ring[2], self.ring[1], self.ring[0]
+            self.last_frame_words = np.asarray(cur)[0, :16].copy()
             # ring order: Frame[0]=new, Frame[1]=mid, Frame[2]=old;
             # Split3D(f=1): p3=Frame[0] (newest), n3=Frame[2] (oldest)
             if cfg.opticalflow:
@@ -590,6 +648,7 @@ class NTSCComb:
                 rgb, self.aburstlev = comb_frame(cur, nxt, prv,
                                                  self.aburstlev, cfg)
         else:
+            self.last_frame_words = np.asarray(frame)[0, :16].copy()
             rgb, self.aburstlev = comb_frame(frame, frame, frame,
                                              self.aburstlev, cfg)
         self.framecount += 1

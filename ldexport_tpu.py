@@ -21,7 +21,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description='Package decoded .tbc into video')
     p.add_argument('intbc', help='input .tbc file')
     p.add_argument('out', help='output base name (.mp4 with ffmpeg, else .rgb)')
-    p.add_argument('-p', '--pal', action='store_true')
+    p.add_argument('--pal', action='store_true')
+    p.add_argument('-p', '--pulldown', action='store_true',
+                   help='reassemble 3:2 pulldown film frames from white '
+                        'flag / CAV frame # (NTSC; reference comb -p)')
     p.add_argument('-d', '--dim', type=int, default=3,
                    help='comb dimensions (1/2/3, default 3 like encode-ntsc)')
     p.add_argument('-a', '--audio', default=None, help='input .pcm (48kHz s16)')
@@ -52,7 +55,7 @@ def main(argv=None):
         comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw, wide=args.wide))
         width = IN_X if args.wide else 744
         height = 480
-        fps = '30000/1001'
+        fps = '24000/1001' if args.pulldown else '30000/1001'
 
     ffmpeg = shutil.which('ffmpeg')
     frame_bytes = IN_X * IN_Y * 2
@@ -88,6 +91,11 @@ def main(argv=None):
         sink = None
         out_f = open(args.out + '.rgb', 'wb')
 
+    pulldown = None
+    if args.pulldown and not args.pal:
+        from ld_decode_tpu.comb.comb_ntsc import PulldownAssembler
+        pulldown = PulldownAssembler()
+
     nframes = 0
     with open(args.intbc, 'rb') as f:
         while args.length is None or nframes < args.length:
@@ -98,8 +106,14 @@ def main(argv=None):
             rgb = comb.process(frame)
             if rgb is None:          # 3D warmup
                 continue
-            out_f.write(np.ascontiguousarray(rgb).tobytes())
-            nframes += 1
+            if pulldown is not None:
+                for film, _code in pulldown.process(
+                        rgb, comb.last_frame_words):
+                    out_f.write(np.ascontiguousarray(film).tobytes())
+                    nframes += 1
+            else:
+                out_f.write(np.ascontiguousarray(rgb).tobytes())
+                nframes += 1
 
     if hasattr(comb, 'flush'):
         tail = comb.flush()
