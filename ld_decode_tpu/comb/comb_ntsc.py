@@ -70,6 +70,13 @@ class CombConfig:
     use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
     opticalflow: bool = True   # dim 3: Farneback flow gating (reference
                                # default; False = the K-map `-F` path)
+    debug2d: bool = False      # -D: replace chroma with the 2D-3D estimate
+                               # difference over 50-IRE gray and report
+                               # per-line/total MSE+ME (comb-ntsc.cxx:440-482)
+    showk: bool = False        # -k: render combk[dim-1] as grayscale
+                               # (comb-ntsc.cxx:575-579)
+    debugline: int = -10000    # -l: expose + black out line debugline+25
+                               # (comb-ntsc.cxx:581-591)
     optflow_engine: str = 'native'  # 'native' = our JAX Farneback
                                     # (comb/optflow.py); 'cv2' = OpenCV
                                     # host fallback / parity oracle
@@ -272,8 +279,16 @@ def split3d(raw: jnp.ndarray, prev_raw: jnp.ndarray, next_raw: jnp.ndarray,
 
 
 def split_iq(raw, clps, combks, invert_col: jnp.ndarray, cfg: CombConfig):
-    """(comb-ntsc.cxx:414-483).  Returns (y, i, q) float arrays."""
-    cavg = sum(c * k for c, k in zip(clps, combks)) / 2.0
+    """(comb-ntsc.cxx:414-483).  Returns (y, i, q) float arrays.
+
+    With cfg.debug2d the blended chroma is replaced by the raw 2D-3D
+    estimate difference and luma by 50-IRE gray (comb-ntsc.cxx:440-461);
+    the MSE/ME statistics over that difference are computed separately
+    by `debug2d_stats`."""
+    if cfg.debug2d:
+        cavg = clps[1] - clps[0]          # clp1 - clp2 (2D minus 3D)
+    else:
+        cavg = sum(c * k for c, k in zip(clps, combks)) / 2.0
     cavg = jnp.where(invert_col[:, None], cavg, -cavg)
 
     h = jnp.arange(IN_X)[None, :]
@@ -285,13 +300,30 @@ def split_iq(raw, clps, combks, invert_col: jnp.ndarray, cfg: CombConfig):
     sq = jnp.where((phase == 1) | (phase == 3), sq_val, prev(sq_val))
 
     mask = _row_mask(36, IN_Y) & _col_mask(4, 840)
-    y = jnp.where(mask, raw, 0.0)
+    # ire_to_u16(50) = (50+40)*irescale + irebase (comb-ntsc.cxx:150-155,461)
+    ybase = jnp.full_like(raw, 50 * IRESCALE + 40 * IRESCALE + IREBASE) \
+        if cfg.debug2d else raw
+    y = jnp.where(mask, ybase, 0.0)
     i = jnp.where(mask, si, 0.0)
     q = jnp.where(mask, sq, 0.0)
     if cfg.bw:
         i = jnp.zeros_like(i)
         q = jnp.zeros_like(q)
     return y, i, q
+
+
+def debug2d_stats(clp1, clp2):
+    """Per-line and total MSE/ME of the 2D-3D chroma difference
+    (comb-ntsc.cxx:440-445,476-482): columns 4..839, per-line mean over
+    836 samples, totals over lines 36..523 (the SplitIQ loop floor
+    intersected with the 6..523 print window)."""
+    d = jnp.where(_col_mask(4, 840), clp1 - clp2, 0.0)
+    msel = jnp.sum(d * d, axis=1) / 836.0
+    sel = jnp.sum(jnp.abs(d), axis=1) / 836.0
+    lr = jnp.arange(IN_Y)
+    lmask = (lr >= 36) & (lr <= 523)
+    return (msel, sel, jnp.sum(jnp.where(lmask, msel, 0.0)),
+            jnp.sum(jnp.where(lmask, sel, 0.0)))
 
 
 def adjust_y(y, i, q, invert_col: jnp.ndarray, cfg: CombConfig):
@@ -466,7 +498,8 @@ def farneback_combk2(y_now: np.ndarray, prev_pics: dict, flows: dict,
                     pic, prev_pics[field], flow, 0.5, 4, 60, 3, 7, 1.5,
                     use_initial_flow=use_init))
             flows[field] = flow
-            mag = np.sqrt(flow[..., 1] ** 2 + (flow[..., 0] * 2) ** 2)
+            fl = np.asarray(flow, np.float64)
+            mag = np.sqrt(fl[..., 1] ** 2 + (fl[..., 0] * 2) ** 2)
             cs.append(1.0 - np.clip((mag - p_3dcore) / p_3drange, 0, 1))
         prev_pics[field] = pic
     if cs:
@@ -485,7 +518,7 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
         invert_col = ~invert_col
 
     if (cfg.use_pallas and cfg.dim == 2 and not cfg.bw
-            and cfg.linesout == 480):
+            and cfg.linesout == 480 and not cfg.showk and not cfg.debug2d):
         from ld_decode_tpu.comb.pallas_kernels import split_chain_2d
         y, i, q = split_chain_2d(raw, invert_col)
         if cfg.colorlpf:
@@ -495,7 +528,8 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
         y = jnp.where(vbi_dst, raw_sh, y)
         y = do_ynr(y, cfg)
         i, q = do_cnr(i, q, cfg)
-        return to_rgb(y, i, q, raw, aburstlev, cfg)
+        rgb, ab = to_rgb(y, i, q, raw, aburstlev, cfg)
+        return rgb, ab, {}
 
     clp0 = split1d(raw)
     if cfg.dim == 1:
@@ -539,7 +573,25 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
 
     y = do_ynr(y, cfg)
     i, q = do_cnr(i, q, cfg)
-    return to_rgb(y, i, q, raw, aburstlev, cfg)
+
+    extras = {}
+    if cfg.debug2d:
+        msel, sel, mse, me = debug2d_stats(clp1, clp2)
+        extras.update(mse_line=msel, me_line=sel, mse=mse, me=me)
+    if cfg.showk:
+        # -k: luma = combk[dim-1] rendered as 0..100 IRE, read 82 samples
+        # ahead; chroma off (comb-ntsc.cxx:575-579)
+        ksel = {1: combk0, 2: combk1, 3: combk2}[cfg.dim]
+        ksh = jnp.pad(ksel, ((0, 0), (0, 82)))[:, 82:]
+        y = jnp.clip((ksh * 100 + 40) * IRESCALE + IREBASE, 1, 65535)
+        i = jnp.zeros_like(i)
+        q = jnp.zeros_like(q)
+    if cfg.debugline > -9999:
+        l = cfg.debugline + 25
+        extras.update(dbg_y=y[l], dbg_i=i[l], dbg_q=q[l])
+
+    rgb, ab = to_rgb(y, i, q, raw, aburstlev, cfg)
+    return rgb, ab, extras
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
@@ -615,6 +667,10 @@ class NTSCComb:
         # corresponds to (lags the input by one frame in dim-3 mode);
         # the pulldown assembler keys off these (comb-ntsc.cxx:911-921)
         self.last_frame_words = np.zeros(16, np.uint16)
+        # debug surfaces: -D stats / -l line dump from the last frame
+        # (comb-ntsc.cxx:476-482, 581-591)
+        self.last_debug2d = None       # dict(mse, me, mse_line, me_line)
+        self.last_debugline = None     # dict(y, i, q) pre-AGC YIQ row
 
     def process(self, framebuf: np.ndarray) -> Optional[np.ndarray]:
         """framebuf: (525*910,) or (525,910) uint16.  Returns RGB48
@@ -641,18 +697,30 @@ class NTSCComb:
             # ring order: Frame[0]=new, Frame[1]=mid, Frame[2]=old;
             # Split3D(f=1): p3=Frame[0] (newest), n3=Frame[2] (oldest)
             if cfg.opticalflow:
-                rgb, self.aburstlev = comb_frame_of(
+                rgb, self.aburstlev, extras = comb_frame_of(
                     cur, nxt, jnp.asarray(self._of_combk2),
                     self.aburstlev, cfg)
             else:
-                rgb, self.aburstlev = comb_frame(cur, nxt, prv,
-                                                 self.aburstlev, cfg)
+                rgb, self.aburstlev, extras = comb_frame(
+                    cur, nxt, prv, self.aburstlev, cfg)
         else:
             self.last_frame_words = np.asarray(frame)[0, :16].copy()
-            rgb, self.aburstlev = comb_frame(frame, frame, frame,
-                                             self.aburstlev, cfg)
+            rgb, self.aburstlev, extras = comb_frame(
+                frame, frame, frame, self.aburstlev, cfg)
         self.framecount += 1
         out = np.asarray(rgb)
+        if cfg.debug2d:
+            self.last_debug2d = {
+                'mse_line': np.asarray(extras['mse_line']),
+                'me_line': np.asarray(extras['me_line']),
+                'mse': float(extras['mse']), 'me': float(extras['me'])}
+        if cfg.debugline > -9999:
+            self.last_debugline = {k[4:]: np.asarray(extras[k])
+                                   for k in ('dbg_y', 'dbg_i', 'dbg_q')}
+            row = cfg.debugline + 25 - cfg.firstline
+            if 0 <= row < out.shape[0]:
+                out = out.copy()
+                out[row] = 0           # blacked out (comb-ntsc.cxx:588-590)
         if not cfg.wide:
             out = out[:, 78:78 + 744]
         return out

@@ -115,6 +115,80 @@ def build_sharded_demod(cfg: DecoderConfig, bank: DemodBank, mesh: Mesh,
     return jax.jit(fn)
 
 
+def build_pipeline_batch_sharded(cfg: DecoderConfig, bank: DemodBank,
+                                 mesh: Mesh, nblocks: int, n_audio1: int,
+                                 batch: int, field_pitch: int,
+                                 colorlevel: float = 1.45,
+                                 colorphase: float = 91.5,
+                                 pallas: bool = False):
+    """Jitted multi-chip version of the flagship
+    `fused.field_pipeline_batch`: the ENTIRE speculative field batch —
+    demod, vsync/lineloc voting, hsync/burst refinement, resample,
+    picture codec, audio chase, VBI slicing — dp-sharded over every mesh
+    device, so multi-chip multiplies end-to-end decode throughput rather
+    than just the demod stage.
+
+    Decomposition (SURVEY §2.4 axis 2; carry protocol of reference
+    lddecode_core.py:1194-1223):
+      * fields are independent except for two tiny sequential carries —
+        the 48 kHz audio-resampler offset (depends on each previous
+        field's line count) and the next batch's start sample (last
+        field's next-field offset).  Each shard decodes batch/ndev
+        fields locally, `all_gather`s the (batch,) int32 line counts /
+        next-field offsets (a few hundred bytes over ICI), replays the
+        exact float32 offset chain locally, and keeps its own slice.
+      * the capture segment is replicated (each field's demod window is
+        a dynamic slice at a data-dependent position; replication keeps
+        the windows collective-free — HBM is sized for the 512 MB
+        segment per chip).
+      * outputs stay dp-sharded: per-field bundle rows and the raw
+        picture (codec overflow fallback) land P('f'); the chained
+        (next_start0, next_offset0) scalars are computed identically on
+        every shard and returned replicated, so consecutive batches
+        chain device-to-device exactly like the single-chip path.
+
+    Returns a jitted fn(capture, start0, audio_offset0, mtf_level,
+    valid_len) -> (bundle (batch, words), next_start0, next_offset0,
+    pic (batch, L*W)).
+    """
+    from ld_decode_tpu.tbc import fused as FU
+
+    devs = np.asarray(mesh.devices).reshape(-1)
+    nd = devs.shape[0]
+    assert batch % nd == 0, (batch, nd)
+    lb = batch // nd
+    fmesh = Mesh(devs, ('f',))
+
+    def shard_fn(capture, start0, audio_offset0, mtf_level, valid_len):
+        di = jax.lax.axis_index('f')
+        starts = FU.pipeline_starts(start0, di * lb, lb, field_pitch,
+                                    valid_len, cfg, nblocks)
+        (video, audio1, lld, lc, valid, istop, nfo, nv,
+         vs_count) = FU.pipeline_analyze(capture, starts, mtf_level, bank,
+                                         cfg, nblocks)
+
+        # tiny cross-field carries ride ICI: (batch,) i32 vectors
+        lc_all = jax.lax.all_gather(lc, 'f', tiled=True)
+        nfo_all = jax.lax.all_gather(nfo, 'f', tiled=True)
+        starts_all = jax.lax.all_gather(starts, 'f', tiled=True)
+        offs_all, next_offset0 = FU._audio_offset_chain(
+            audio_offset0, lc_all, cfg)
+        offs_used = jax.lax.dynamic_slice(offs_all, (di * lb,), (lb,))
+        next_start0 = starts_all[-1] + nfo_all[-1]
+
+        bundle, pic = FU.pipeline_finish(
+            video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
+            starts, offs_used, bank, cfg, n_audio1, colorlevel,
+            colorphase, pallas)
+        return bundle, next_start0, next_offset0, pic
+
+    fn = _shard_map(
+        shard_fn, fmesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P('f'), P(), P(), P('f')))
+    return jax.jit(fn), fmesh
+
+
 def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
     """Jitted multi-chip 3D comb: frames sharded over 'dp', the +-1-frame
     temporal references exchanged as single-frame `ppermute` halos over ICI
@@ -152,8 +226,8 @@ def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
 
         def one(cur, prv, nxt):
             # Split3D(f=1): p3line = newer frame, n3line = older frame
-            rgb, _lev = comb_frame(cur, nxt, prv, jnp.float32(-1.0),
-                                   comb_cfg)
+            rgb, _lev, _extras = comb_frame(cur, nxt, prv,
+                                            jnp.float32(-1.0), comb_cfg)
             return rgb
         return jax.vmap(one)(frames, prevs, nexts)
 

@@ -35,6 +35,15 @@ def parse_args(argv=None):
                    help='full 910-dot width (no crop)')
     p.add_argument('-l', '--length', type=int, default=None,
                    help='max frames')
+    p.add_argument('-D', '--debug2d', action='store_true',
+                   help='render the 2D-3D chroma difference over gray and '
+                        'print per-line/total MSE+ME (reference comb -D; '
+                        'forces -d 3)')
+    p.add_argument('-k', '--show-k', action='store_true',
+                   help='render the K-map (combk[dim-1]) as grayscale '
+                        '(reference comb -k)')
+    p.add_argument('--debug-line', type=int, default=None,
+                   help='dump + black out TBC line N+25 (reference comb -l)')
     return p.parse_args(argv)
 
 
@@ -52,7 +61,11 @@ def main(argv=None):
     else:
         from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig, \
             IN_X, IN_Y
-        comb = NTSCComb(CombConfig(dim=args.dim, bw=args.bw, wide=args.wide))
+        comb = NTSCComb(CombConfig(
+            dim=3 if args.debug2d else args.dim, bw=args.bw, wide=args.wide,
+            debug2d=args.debug2d, showk=args.show_k,
+            debugline=args.debug_line if args.debug_line is not None
+            else -10000))
         width = IN_X if args.wide else 744
         height = 480
         fps = '24000/1001' if args.pulldown else '30000/1001'
@@ -106,6 +119,13 @@ def main(argv=None):
             rgb = comb.process(frame)
             if rgb is None:          # 3D warmup
                 continue
+            if getattr(comb, 'last_debug2d', None) is not None:
+                d = comb.last_debug2d
+                for li in range(36, 524):
+                    print(f'{li} {d["mse_line"][li]:.6g} ME '
+                          f'{d["me_line"][li]:.6g}', file=sys.stderr)
+                print(f'TOTAL MSE {d["mse"]:.6g} ME {d["me"]:.6g}',
+                      file=sys.stderr)
             if pulldown is not None:
                 for film, _code in pulldown.process(
                         rgb, comb.last_frame_words):

@@ -81,11 +81,63 @@ def test_sharded_comb3d_matches_single():
 
     # reference: sequential per-frame comb with per-frame AGC seed
     for k in (1, 5, 8, 14):        # interior frames incl. shard boundaries
-        rgb, _ = comb_frame(jnp.asarray(frames[k]),
-                            jnp.asarray(frames[k + 1]),
-                            jnp.asarray(frames[k - 1]),
-                            jnp.float32(-1.0), cfg)
+        rgb, _, _extras = comb_frame(jnp.asarray(frames[k]),
+                                     jnp.asarray(frames[k + 1]),
+                                     jnp.asarray(frames[k - 1]),
+                                     jnp.float32(-1.0), cfg)
         np.testing.assert_array_equal(got[k], np.asarray(rgb))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_sharded_pipeline_matches_single():
+    """The FULL flagship pipeline (fused.field_pipeline_batch: demod ->
+    vsync/linelocs -> refinement -> resample -> codec -> audio -> VBI)
+    dp-sharded over the 8-device mesh must reproduce the single-device
+    batch bit-for-bit: same per-field bundle rows, same chained
+    next-start/next-audio-offset scalars."""
+    from ld_decode_tpu.models import encode as E
+    from ld_decode_tpu.tbc import fused as FU
+
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='bars',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    nblocks = 26
+    n_audio1 = nblocks * bank.a_stage1_keep if bank.has_audio else 0
+    batch = 8
+    field_pitch = int(cfg.linelen * (cfg.sys.frame_lines // 2))
+    capture = jnp.asarray(samples.astype(np.uint16))
+    start0 = jnp.int32(33046)
+    off0 = jnp.float32(0.001)
+    mtf = jnp.float32(1.0)
+    vlen = jnp.int32(capture.shape[0])
+
+    chunks, nso, noo, pic = FU.field_pipeline_batch(
+        capture, start0, off0, mtf, bank, cfg, nblocks, n_audio1,
+        batch, field_pitch, valid_len=vlen)
+    ref = np.concatenate([np.asarray(c) for c in chunks]).reshape(batch, -1)
+
+    step, fmesh = M.build_pipeline_batch_sharded(
+        cfg, bank, M.make_mesh(8), nblocks, n_audio1, batch, field_pitch)
+    bundle, nso_s, noo_s, pic_s = step(capture, start0, off0, mtf, vlen)
+    got = np.asarray(bundle)
+
+    assert got.shape == ref.shape
+    spec = FU.pipeline_bundle_spec(cfg)
+    for r in range(batch):
+        g, rf = spec.unpack(got[r]), spec.unpack(ref[r])
+        for name, *_ in spec.offsets:
+            if name == 'audio':
+                # vmap-width-dependent XLA vectorization flips a handful
+                # of round() boundaries: allow +-1 LSB on <0.1% of ticks
+                d = g[name].astype(np.int64) - rf[name].astype(np.int64)
+                assert np.abs(d).max() <= 1 and (d != 0).sum() <= 16, name
+            else:
+                np.testing.assert_array_equal(g[name], rf[name], err_msg=name)
+    assert int(nso_s) == int(nso)
+    np.testing.assert_allclose(float(noo_s), float(noo), rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(pic_s).reshape(batch, -1), np.asarray(pic))
 
 
 def test_nn_comb_train_dp_mesh():
