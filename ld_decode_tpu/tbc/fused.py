@@ -756,42 +756,31 @@ def _audio_offset_chain(offset0, lcs, cfg: DecoderConfig):
     return offs, final
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
-                                             'batch', 'field_pitch',
-                                             'colorlevel', 'colorphase',
-                                             'pallas'))
-def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
-                         bank: DemodBank, cfg: DecoderConfig, nblocks: int,
-                         n_audio1: int, batch: int, field_pitch: int,
-                         colorlevel: float = 1.45,
-                         colorphase: float = 91.5, pallas: bool = False,
-                         valid_len=None):
-    """The whole speculative field batch as ONE jitted call + ONE D2H.
-
-    Demod + sync peaks, device-side vsync voting and line numbering
-    (tbc/sync_dev.py), hsync/burst refinement, picture/audio downscale and
-    VBI windows, per-field validity + nextfieldoffset meta — the host only
-    unpacks the returned buffer.
-
-    `start0`/`audio_offset0` are device scalars and the chained
-    (next_start0, next_offset0) come back as device scalars, so
-    consecutive speculative batches chain device-to-device: the prefetcher
-    keeps DEPTH (3) in flight and the tunnel transfer of batch k overlaps
-    the compute of batch k+1 with no host synchronization between them."""
-    from ld_decode_tpu.tbc import sync_dev as SD
-
+def pipeline_starts(start0, batch_index, nbatch: int, field_pitch: int,
+                    valid_len, cfg: DecoderConfig, nblocks: int):
+    """Clamped speculative window starts for fields [batch_index,
+    batch_index + nbatch) of a batch chain.  valid_len (traced scalar)
+    marks real samples when the capture buffer is zero-padded to a
+    constant shape (segmented file tail); windows clamp at the REAL end
+    so EOF keeps its duplicate-start semantics instead of decoding the
+    pad."""
     n_stream = D.stream_len(cfg, nblocks)
-    # valid_len (traced scalar) marks real samples when the capture
-    # buffer is zero-padded to a constant shape (segmented file tail);
-    # windows clamp at the REAL end so EOF keeps its duplicate-start
-    # semantics instead of decoding the pad
-    if valid_len is None:
-        valid_len = capture.shape[0]
     smax = jnp.asarray(valid_len, jnp.int32) - (n_stream - cfg.blockcut)
-    starts = jnp.clip(
+    return jnp.clip(
         jnp.asarray(start0, jnp.int32)
-        + jnp.arange(batch, dtype=jnp.int32) * field_pitch,
+        + (batch_index + jnp.arange(nbatch, dtype=jnp.int32)) * field_pitch,
         cfg.blockcut, smax)
+
+
+def pipeline_analyze(capture, starts, mtf_level, bank: DemodBank,
+                     cfg: DecoderConfig, nblocks: int):
+    """Demod + sync peaks + device-side vsync voting / line numbering for
+    a batch of field windows.  Fields are independent — this stage has no
+    cross-field dataflow, so it shards cleanly over a device mesh
+    (parallel/mesh.py::build_pipeline_batch_sharded).
+
+    Returns (video, audio1, lld, lc, valid, istop, nfo, nv, vs_count)."""
+    from ld_decode_tpu.tbc import sync_dev as SD
 
     fn = lambda s: _analyze_core(capture, s, bank, cfg, nblocks, mtf_level)
     video, audio1, pidx, pval = jax.vmap(fn)(starts)
@@ -817,11 +806,17 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
 
     bidx = jnp.arange(starts.shape[0])
     nfo = pidx[bidx, jnp.clip(line0_1 - 10, 0, P - 1)]
+    return video, audio1, lld, lc, valid, istop, nfo, nv, vsd.count
 
-    offs_used, next_offset0 = _audio_offset_chain(audio_offset0, lc, cfg)
-    next_start0 = starts[-1] + nfo[-1]
 
-    # refinement + outputs (same stages as field_finish_batch)
+def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
+                    starts, offs_used, bank: DemodBank, cfg: DecoderConfig,
+                    n_audio1: int, colorlevel: float, colorphase: float,
+                    pallas: bool):
+    """Refinement + outputs + picture codec + per-field meta for a batch
+    (same stages as field_finish_batch).  Returns per-field bundle rows
+    (batch, words) and the raw device-resident picture (codec fallback).
+    Per-field like `pipeline_analyze`, so it shards over the batch."""
     refine = lambda v, i_, f_, b_, l_: _finish_refine(
         v, i_, f_, b_, l_, cfg, colorphase)
     lli, llf, burstlevel = jax.vmap(refine)(video, lld.lli, lld.llf,
@@ -849,11 +844,51 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
          for x in encode_picture_dev(p, cfg)]))(pic)
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
-                        lc, nfo, nv, vsd.count, starts], axis=1)
+                        lc, nfo, nv, vs_count, starts], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
     bundle = jnp.concatenate([enc, rest.reshape(starts.shape[0], -1), meta],
                              axis=1)
+    return bundle, pic
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
+                                             'batch', 'field_pitch',
+                                             'colorlevel', 'colorphase',
+                                             'pallas'))
+def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
+                         bank: DemodBank, cfg: DecoderConfig, nblocks: int,
+                         n_audio1: int, batch: int, field_pitch: int,
+                         colorlevel: float = 1.45,
+                         colorphase: float = 91.5, pallas: bool = False,
+                         valid_len=None):
+    """The whole speculative field batch as ONE jitted call + ONE D2H.
+
+    Demod + sync peaks, device-side vsync voting and line numbering
+    (tbc/sync_dev.py), hsync/burst refinement, picture/audio downscale and
+    VBI windows, per-field validity + nextfieldoffset meta — the host only
+    unpacks the returned buffer.
+
+    `start0`/`audio_offset0` are device scalars and the chained
+    (next_start0, next_offset0) come back as device scalars, so
+    consecutive speculative batches chain device-to-device: the prefetcher
+    keeps DEPTH (3) in flight and the tunnel transfer of batch k overlaps
+    the compute of batch k+1 with no host synchronization between them."""
+    if valid_len is None:
+        valid_len = capture.shape[0]
+    starts = pipeline_starts(start0, 0, batch, field_pitch, valid_len,
+                             cfg, nblocks)
+
+    (video, audio1, lld, lc, valid, istop, nfo, nv,
+     vs_count) = pipeline_analyze(capture, starts, mtf_level, bank, cfg,
+                                  nblocks)
+
+    offs_used, next_offset0 = _audio_offset_chain(audio_offset0, lc, cfg)
+    next_start0 = starts[-1] + nfo[-1]
+
+    bundle, pic = pipeline_finish(
+        video, audio1, lld, lc, valid, istop, nfo, nv, vs_count, starts,
+        offs_used, bank, cfg, n_audio1, colorlevel, colorphase, pallas)
     # Split into per-field-pair chunks: the tunnel's D2H link is the
     # throughput wall (~40 MB/s single-stream, ~15% more with 2-4
     # concurrent streams) and the prefetcher pulls each chunk on its own
