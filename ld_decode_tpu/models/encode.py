@@ -253,8 +253,14 @@ def render_composite_ire(cfg: DecoderConfig, nframes: int,
 
 def modulate(cfg: DecoderConfig, ire: np.ndarray,
              spec: EncodeSpec = EncodeSpec(),
-             seed: int = 0) -> np.ndarray:
-    """IRE composite -> emphasized FM RF + audio carriers -> uint16 samples."""
+             seed: int = 0, extra_baseband: np.ndarray = None) -> np.ndarray:
+    """IRE composite -> emphasized FM RF + audio carriers -> uint16 samples.
+
+    extra_baseband: optional waveform summed into the composite RF before
+    quantization (units of video-RF amplitude, caller pre-scales) — used
+    to mix the EFM digital-audio baseband under the carriers the way a
+    real disc does (reference attic2/cd-decoder.py:330-470 consumes that
+    band)."""
     sp, dp = cfg.sys, cfg.rf
     fs_hz = cfg.freq_hz
 
@@ -281,6 +287,10 @@ def modulate(cfg: DecoderConfig, ire: np.ndarray,
         rf = rf + spec.audio_level * np.cos(
             TAU * sp.audio_rfreq * t + beta_r * np.sin(TAU * fr * t))
 
+    if extra_baseband is not None:
+        m = min(n, len(extra_baseband))
+        rf[:m] = rf[:m] + extra_baseband[:m]
+
     if spec.noise_rms > 0:
         rng = np.random.default_rng(seed)
         rf = rf + rng.normal(0.0, spec.noise_rms, n)
@@ -291,7 +301,8 @@ def modulate(cfg: DecoderConfig, ire: np.ndarray,
 
 
 def encode_frames(cfg: DecoderConfig, nframes: int,
-                  spec: EncodeSpec = EncodeSpec(), seed: int = 0) -> np.ndarray:
+                  spec: EncodeSpec = EncodeSpec(), seed: int = 0,
+                  extra_baseband: np.ndarray = None) -> np.ndarray:
     """Full synthetic capture: composite render + FM modulation."""
     ire = render_composite_ire(cfg, nframes, spec)
-    return modulate(cfg, ire, spec, seed)
+    return modulate(cfg, ire, spec, seed, extra_baseband=extra_baseband)

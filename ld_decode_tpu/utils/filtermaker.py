@@ -71,6 +71,110 @@ def design_inventory(freq_mhz: float = 40.0) -> Dict[str, BA]:
     return inv
 
 
+def reference_inventory() -> Dict[str, BA]:
+    """The complete named-filter inventory of the reference's generated
+    deemp.h (reference filtermaker.py:81-295): every family the legacy
+    C++ decoders consume — boost, color/lpf, sync (sync/esync/psync/
+    dsync/syncid at 8/4/10/32 fsc rates), NR (nr/nr28/lp18/nrc), color
+    LPF/BPF, analog-audio bandpass + LPF + deemphasis chain, CX corner
+    filters, Hilbert pair, PAL pilot, EFM bandpass, and line-length
+    smoothing.  The designs are scipy one-liners; the (order, cutoff)
+    specs below ARE the public design data (same scipy calls; parity vs
+    the reference's own deemp.h tables is pinned by
+    tests/test_filtermaker.py)."""
+    import scipy.signal as sps
+
+    freq = 4 * 315.0 / 88.0          # 8 fsc normalization
+    freq4 = freq                      # 4 fsc uses the same constant
+    freq10 = 5 * 315.0 / 88.0
+    freq32 = 32.0
+
+    fw = sps.firwin
+    inv: Dict[str, BA] = {}
+
+    inv['boost'] = _as_ba(fw(33, 3.5 / freq, window='hamming',
+                             pass_zero=False))
+    inv['boost10'] = _as_ba(fw(33, 3.5 / freq10, window='hamming',
+                               pass_zero=False))
+    inv['color'] = _as_ba(fw(33, 0.2 / freq, window='hamming'))
+    inv['lpf'] = _as_ba(fw(31, 5.2 / freq, window='hamming'))
+    inv['lpf42'] = _as_ba(fw(31, 4.2 / freq, window='hamming'))
+    inv['lpf_comb'] = _as_ba(fw(33, 0.8 / freq, window='hamming'))
+    inv['lpf4'] = _as_ba(fw(31, 5.2 / freq4, window='hamming'))
+    inv['lpf10'] = _as_ba(fw(31, 5.2 / freq10, window='hamming'))
+    inv['sync'] = _as_ba(fw(25, 0.1 / freq, window='hamming'))
+    inv['ntscsyncbpf4'] = _as_ba(fw(17, [3.37955 / freq4, 3.77955 / freq4],
+                                    window='hamming'))
+    for name, fr in (('esync8', freq), ('esync4', freq4),
+                     ('esync10', freq10), ('esync32', freq32)):
+        inv[name] = _as_ba(fw(17, 2.0 / fr, window='hamming'))
+    for name, fr in (('psync8', freq), ('psync4', freq4),
+                     ('psync10', freq10)):
+        inv[name] = _as_ba(fw(33, 2.0 / fr, window='hamming'))
+    inv['dsync'] = _as_ba(fw(33, 0.1 / freq, window='hamming'))
+    inv['dsync4'] = _as_ba(fw(21, 0.1 / freq4, window='hamming'))
+    inv['dsync10'] = _as_ba(fw(33, 0.1 / freq10, window='hamming'))
+    inv['dsync32'] = _as_ba(fw(33, 0.1 / freq32, window='hamming'))
+    inv['sync4'] = _as_ba(fw(21, 0.1 / freq4, window='hamming'))
+    inv['sync10'] = _as_ba(fw(33, 0.1 / freq10, window='hamming'))
+    inv['nr'] = _as_ba(fw(25, 1.80 / (freq / 2.0), window='hamming',
+                          pass_zero=False))
+    inv['nr28'] = _as_ba(fw(25, [2.60 / (freq / 2.0), 2.9 / (freq / 2.0)],
+                            window='hamming', pass_zero=False))
+    inv['lp18'] = _as_ba(fw(25, 1.80 / (freq / 2.0), window='hamming',
+                            pass_zero=True))
+    inv['nrc'] = _as_ba(fw(17, 0.4 / (freq / 2.0), window='hamming',
+                           pass_zero=False))
+    inv['colorlpi'] = _as_ba(sps.butter(1, 1.3 / (freq4 / 2), 'low'))
+    inv['colorlpq'] = _as_ba(sps.butter(1, 0.6 / (freq4 / 2), 'low'))
+    inv['colorbp4'] = _as_ba(fw(9, [3.4006 / (freq / 2), 3.7585 / (freq / 2)],
+                                window='hamming', pass_zero=False))
+    inv['colorbp8'] = _as_ba(fw(17, [3.4006 / freq, 3.7585 / freq],
+                                window='hamming', pass_zero=False))
+    inv['audioin'] = _as_ba(sps.butter(8, 3.3 / freq))
+    inv['leftbp'] = _as_ba(fw(33, [2.2 / (freq / 4), 2.4 / (freq / 4)],
+                              window='hamming', pass_zero=False))
+    inv['rightbp'] = _as_ba(fw(33, [2.7 / (freq / 4), 2.9 / (freq / 4)],
+                               window='hamming', pass_zero=False))
+    inv['audiolp'] = _as_ba(sps.butter(8, .10 / (freq / 4)))
+    inv['audiolp20'] = _as_ba(sps.butter(8, .024 / (freq / 4 / 20)))
+    inv['a500_48k'] = _as_ba(sps.butter(4, 500.0 / 24000.0,
+                                        btype='highpass'))
+    inv['a500_44k'] = _as_ba(fw(17, 500.0 / 22050.0, pass_zero=False))
+    inv['a40h_48k'] = _as_ba(sps.butter(4, 40.0 / 24000.0,
+                                        btype='highpass'))
+    hilbert = np.fft.fftshift(np.fft.ifft([0] + [1] * 13 + [0] * 13))
+    inv['hilbertr'] = _as_ba(hilbert.real)
+    inv['hilberti'] = _as_ba(hilbert.imag)
+    inv['pilot'] = _as_ba(fw(17, [3.74 / 7.5, 3.76 / 7.5],
+                             window='hamming', pass_zero=False))
+    # 75 us FM deemphasis from the response table (filtermaker.py:259-270)
+    table = [[.000, 0], [.1, -.01], [.5, -.23], [1, -.87], [2, -2.76],
+             [3, -4.77], [4, -6.58], [5, -8.16], [6, -9.54], [7, -10.75],
+             [8, -11.82], [9, -12.78], [10, -13.66], [11, -14.45],
+             [12, -15.18], [13, -15.86], [14, -16.49], [15, -17.07],
+             [16, -17.62], [17, -18.14], [18, -18.63], [19, -19.09],
+             [20, -19.53], [24, -20]]
+    fr_ = np.array([t[0] / 24.0 for t in table])
+    am = np.exp(np.array([t[1] for t in table]) / 9.0)
+    inv['fmdeemp'] = _as_ba(sps.firwin2(33, fr_, am))
+    inv['efm8'] = _as_ba(fw(49, [.05 / freq, 1.10 / freq], pass_zero=False))
+    for name, wn in (('syncid8', 0.002), ('syncid4', 0.004),
+                     ('syncid32', 0.0018), ('syncid10', 0.0016)):
+        inv[name] = _as_ba(sps.butter(3, wn))
+    inv['linelen'] = _as_ba(fw(17, 0.1))
+    return inv
+
+
+# group-delay constants the legacy consumers pair with the tables
+# (reference filtermaker.py:190-193, 288-291)
+REFERENCE_OFFSETS = {
+    'f_colorlpi_offset': 2, 'f_colorlpq_offset': 2,
+    'syncid4_offset': 165, 'syncid8_offset': 320,
+    'syncid32_offset': 360, 'syncid10_offset': 400,
+}
+
+
 def _emit_vector(out: io.StringIO, name: str, vals: np.ndarray) -> None:
     out.write(f'const std::vector<double> {name} = {{\n')
     for i in range(0, len(vals), 4):
@@ -97,11 +201,24 @@ def cpp_filter_tables(inventory: Dict[str, BA],
     return out.getvalue()
 
 
+def render_header(freq_mhz: float = 40.0) -> Tuple[str, Dict[str, BA]]:
+    """Full ldd_filters.h text: the TPU-pipeline designs plus the
+    complete reference deemp.h inventory (`ref_*` prefix) and its offset
+    constants."""
+    inv = dict(design_inventory(freq_mhz))
+    for name, ba in reference_inventory().items():
+        inv[f'ref_{name}'] = ba
+    body = cpp_filter_tables(inv, freq_mhz)
+    consts = ''.join(f'const int {k} = {v};\n'
+                     for k, v in REFERENCE_OFFSETS.items())
+    return body + '\n' + consts, inv
+
+
 def generate(path: str, freq_mhz: float = 40.0) -> Dict[str, BA]:
-    """Write ldd_filters.h; returns the inventory used."""
-    inv = design_inventory(freq_mhz)
+    """Write ldd_filters.h; returns the combined inventory."""
+    text, inv = render_header(freq_mhz)
     with open(path, 'w') as f:
-        f.write(cpp_filter_tables(inv, freq_mhz))
+        f.write(text)
     return inv
 
 

@@ -29,6 +29,12 @@ int main() {
     run(make_f_cx_a500_48k(), "cx_a500_48k");
     run(make_f_comb_colorlpi(), "comb_colorlpi");
     run(make_f_audio_lpf(), "audio_lpf");
+    run(make_f_ref_boost(), "ref_boost");
+    run(make_f_ref_esync4(), "ref_esync4");
+    run(make_f_ref_syncid8(), "ref_syncid8");
+    run(make_f_ref_audiolp(), "ref_audiolp");
+    run(make_f_ref_leftbp(), "ref_leftbp");
+    run(make_f_ref_efm8(), "ref_efm8");
     return 0;
 }
 ''' % {'npts': NPTS}
@@ -55,11 +61,11 @@ def test_generated_header_compiles_and_matches_scipy(tmp_path):
     for line in out.strip().splitlines():
         parts = line.split()
         got[parts[0]] = np.array([float(v) for v in parts[1:]])
-    assert len(got) == 6
+    assert len(got) == 12
     for name, vals in got.items():
         b, a = inv[name]
         want = sps.lfilter(b, a, impulse)
-        np.testing.assert_allclose(vals, want, rtol=0, atol=1e-15,
+        np.testing.assert_allclose(vals, want, rtol=0, atol=1e-12,
                                    err_msg=name)
 
 
@@ -83,6 +89,41 @@ def test_committed_header_is_current():
     whenever a filter design changes."""
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'native', 'ldd_filters.h')
-    want = FM.cpp_filter_tables(FM.design_inventory())
+    want, _inv = FM.render_header()
     with open(path) as f:
         assert f.read() == want
+
+
+REF_DEEMP_H = '/root/reference/deemp.h'
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DEEMP_H),
+                    reason='reference deemp.h not present')
+def test_reference_inventory_matches_deemp_h():
+    """Our regenerated designs must numerically match the reference's own
+    generated tables (deemp.h), name for name — the strongest possible
+    oracle for the code-gen inventory."""
+    import re
+    with open(REF_DEEMP_H) as f:
+        text = f.read()
+    tables = {}
+    for m in re.finditer(
+            r'std::vector<double>\s+c_(\w+)_([ab])\s*=\s*\{([^}]*)\};',
+            text):
+        vals = np.array([float(v) for v in m.group(3).replace(',', ' ')
+                         .split()])
+        tables.setdefault(m.group(1), {})[m.group(2)] = vals
+
+    inv = FM.reference_inventory()
+    missing = [n for n in inv if n not in tables]
+    assert not missing, missing
+    for name, (b, a) in inv.items():
+        rb, ra = tables[name]['b'], tables[name].get('a', np.ones(1))
+        np.testing.assert_allclose(b, rb, rtol=1e-6, atol=1e-12,
+                                   err_msg=f'{name} b')
+        np.testing.assert_allclose(a, ra, rtol=1e-6, atol=1e-12,
+                                   err_msg=f'{name} a')
+    # offset constants
+    for k, v in FM.REFERENCE_OFFSETS.items():
+        m = re.search(rf'const int {k} = (-?\d+);', text)
+        assert m and int(m.group(1)) == v, k
