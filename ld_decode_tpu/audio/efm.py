@@ -267,6 +267,42 @@ def nrzi_waveform(bits: np.ndarray, sample_rate_hz: float,
 
 
 # ---------------------------------------------------------------------------
+# RF band-split: the EFM baseband lives under the analog carriers
+
+def efm_bandpass(rf: np.ndarray, sample_rate_hz: float,
+                 lo_hz: float = 20e3, hi_hz: float = 1.75e6) -> np.ndarray:
+    """Extract the EFM baseband from a composite RF capture.
+
+    On digital-sound LaserDiscs the EFM stream occupies DC-1.75 MHz,
+    below the analog audio FM carriers (2.3/2.8 MHz NTSC) and the video
+    FM band; the reference band-limits raw RF with its efm8 bandpass
+    before slicing (reference filtermaker.py:279-281 efm_filter,
+    attic2/cd-decoder.py:469-471).  Zero-phase FFT brickwall with
+    raised-cosine edges — one-shot (captures fed here are already
+    windowed), DC removed."""
+    rf = np.asarray(rf, np.float64)
+    n = len(rf)
+    X = np.fft.rfft(rf - rf.mean())
+    f = np.fft.rfftfreq(n, d=1.0 / sample_rate_hz)
+    roll = lo_hz            # raised-cosine edge width
+    H = np.ones_like(f)
+    H[f < lo_hz] = 0.5 * (1 - np.cos(np.pi * f[f < lo_hz] / lo_hz))
+    hi_edge = (f > hi_hz) & (f < hi_hz + 4 * roll)
+    H[hi_edge] = 0.5 * (1 + np.cos(np.pi * (f[hi_edge] - hi_hz)
+                                   / (4 * roll)))
+    H[f >= hi_hz + 4 * roll] = 0.0
+    return np.fft.irfft(X * H, n)
+
+
+def decode_digital_audio_from_rf(rf: np.ndarray, sample_rate_hz: float):
+    """Composite RF capture (uint16 samples, video FM + analog audio
+    carriers + EFM baseband) -> band-split -> full digital-audio decode
+    (the reference's actual use case, attic2/cd-decoder.py:330-443)."""
+    return decode_digital_audio(efm_bandpass(rf, sample_rate_hz),
+                                sample_rate_hz)
+
+
+# ---------------------------------------------------------------------------
 # full digital-audio chain: EFM front-end -> CIRC -> stereo samples
 
 def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):

@@ -102,3 +102,41 @@ def test_full_digital_audio_chain_roundtrip():
     n = min(n2, (hi - lo) * 6)
     # frame sync may resynchronize; compare the stretch decoded cleanly
     assert dec2['c1_corrected'].sum() + (~dec2['c1_ok']).sum() > 0
+
+
+def test_digital_audio_from_composite_rf():
+    """EFM mixed UNDER a real synthetic capture (video FM + analog audio
+    carriers + RF noise), band-split back out of the composite and decoded
+    through CIRC — known PCM recovered from RF, not from the module's own
+    bit arrays (reference attic2/cd-decoder.py:330-443)."""
+    from ld_decode_tpu.audio import efm as E2
+    from ld_decode_tpu.models import encode as EM
+    from ld_decode_tpu.utils.params import DecoderConfig
+
+    rng = np.random.default_rng(11)
+    nf = 240
+    pcm = rng.integers(-30000, 30000, (nf * 6, 2)).astype(np.int16)
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    rate = cfg.freq_hz
+    wave = E2.encode_digital_audio(pcm, rate)
+
+    rf = EM.encode_frames(
+        cfg, 1, EM.EncodeSpec(pattern='bars', noise_rms=0.01),
+        extra_baseband=0.25 * wave)
+    assert len(rf) >= len(wave)        # one frame covers the EFM stream
+
+    dec = E2.decode_digital_audio_from_rf(rf, rate)
+    got = dec['samples']
+    lo, hi = 120, nf - 120
+    assert got.shape[0] >= (nf - 8) * 6
+    off = next(o for o in range(0, 4)
+               if (got[lo * 6:lo * 6 + 60]
+                   == pcm[(lo + o) * 6:(lo + o) * 6 + 60]).all())
+    nseg = (hi - lo) * 6
+    assert (got[lo * 6:lo * 6 + nseg]
+            == pcm[(lo + off) * 6:(lo + off) * 6 + nseg]).all()
+    # the band split must not have wrecked the video: the capture still
+    # carries a healthy FM carrier for the video decoder
+    from ld_decode_tpu.utils import filtertools as FT
+    assert FT.peak_to_background_db(rf[:262144].astype(np.float64),
+                                    cfg.freq_mhz) > 10
