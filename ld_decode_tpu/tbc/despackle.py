@@ -16,16 +16,26 @@ import numpy as np
 
 def despackle(picture: np.ndarray, outlinelen: int = 910,
               out_scale: float = 51200.0 / 140.0, offset: int = 1024,
-              vsync_ire: float = -40.0) -> np.ndarray:
-    """picture: (nlines*outlinelen,) or (nlines, outlinelen) uint16."""
+              vsync_ire: float = -40.0,
+              rot_level: float = 40.0) -> np.ndarray:
+    """picture: (nlines*outlinelen,) or (nlines, outlinelen) uint16.
+
+    `rot_level` is the app/tbc `-r` knob (reference main.cpp:165-168,
+    default 40.0): it sets how far outside the 0..100 IRE video range a
+    sample must land to count as rot.  The detection window is
+    [-rot_level/2, 100 + rot_level] IRE — at the default 40.0 this is the
+    reference's hardcoded -20..140 window (tbc.cpp:1541-1542); smaller
+    values despackle more aggressively, larger ones less.
+    """
     pic = np.asarray(picture).reshape(-1, outlinelen)
     rows, cols = pic.shape
     v = pic.astype(np.float64)
     ire = (v - offset) / out_scale + vsync_ire
 
+    lo, hi = -rot_level / 2.0, 100.0 + rot_level
     r = np.arange(rows)[:, None]
     c = np.arange(cols)[None, :]
-    hit = ((ire < -20) | (ire > 140)) & (r >= 22) & (c >= 60) & (c < cols - 16)
+    hit = ((ire < lo) | (ire > hi)) & (r >= 22) & (c >= 60) & (c < cols - 16)
     if not hit.any():
         return np.asarray(picture)
 

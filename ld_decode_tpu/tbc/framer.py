@@ -24,7 +24,8 @@ class Framer:
                  loader: Callable = None, full_decode: bool = True,
                  nblocks: int = 66, capture: np.ndarray = None,
                  batch: int = 1, despackle: bool = False,
-                 segment_samples: int = 0):
+                 segment_samples: int = 0, rot_level: float = 40.0,
+                 flip_fields: bool = False):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
@@ -55,6 +56,11 @@ class Framer:
             self.capture_dev = jax.device_put(arr.astype(np.uint16))
         self.full_decode = full_decode
         self.despackle = despackle
+        # app/tbc operational knobs (reference main.cpp:152-168): -r rot
+        # detection level (despackle window, see tbc/despackle.py) and -f
+        # field flip (swap which field weaves to even/odd output rows)
+        self.rot_level = rot_level
+        self.flip_fields = flip_fields
         self.decoder = FieldDecoder(cfg, bank, nblocks)
         if loader is not None and batch > 1 and segment_samples <= 0:
             segment_samples = 256 << 20      # 512 MB of u16 by default
@@ -206,8 +212,9 @@ class Framer:
         linecount = half * 2
         combined = np.zeros(W * self.outlines, dtype=np.uint16)
         rows = combined.reshape(self.outlines, W)
-        rows[0:linecount:2] = fields[0].dspicture[:half * W].reshape(-1, W)
-        rows[1:linecount:2] = fields[1].dspicture[:half * W].reshape(-1, W)
+        top, bot = (fields[1], fields[0]) if self.flip_fields else fields
+        rows[0:linecount:2] = top.dspicture[:half * W].reshape(-1, W)
+        rows[1:linecount:2] = bot.dspicture[:half * W].reshape(-1, W)
         lf = int(np.argmax([fields[0].linecount, fields[1].linecount]))
         cur = linecount // 2
         if (cur + 1) * W <= len(fields[lf].dspicture):
@@ -256,7 +263,7 @@ class Framer:
                      else (0xd300 - 0x0100)) / (100 - cfg.sys.vsync_ire)
             off = 1024 if cfg.system == 'NTSC' else 256
             combined = _dsp(combined, self.outwidth, scale, off,
-                            cfg.sys.vsync_ire)
+                            cfg.sys.vsync_ire, rot_level=self.rot_level)
         self.vbi = self.mergevbi(fields)
 
         if combined is not None:

@@ -43,6 +43,18 @@ def parse_args(argv=None):
                         'sliding HBM segment of the file)')
     p.add_argument('--f64', action='store_true',
                    help='run the filter bank at float64 (CPU only)')
+    # app/tbc operational knobs (reference app/tbc/main.cpp:152-168)
+    p.add_argument('--despackle', action='store_true',
+                   help='conceal laser-rot dropouts in the output picture')
+    p.add_argument('-r', '--rot', type=float, default=40.0,
+                   help='laser-rot detection level for --despackle '
+                        '(IRE margin outside 0..100; default 40.0 = the '
+                        'reference -20..140 IRE window)')
+    p.add_argument('-f', '--flip', action='store_true',
+                   help='flip video fields (swap even/odd weave order)')
+    p.add_argument('-z', '--freeze', action='store_true',
+                   help='freeze-frame: decode one frame and repeat it '
+                        'for the requested length')
     p.add_argument('-q', '--quiet', action='store_true',
                    help='warnings and errors only')
     p.add_argument('-d', '--debug', action='store_true',
@@ -85,9 +97,12 @@ def main(argv=None):
         # segmented fast path: batched device pipeline over a sliding
         # HBM-resident window of the capture
         framer = FR.Framer(cfg, bank, loader, batch=args.batch,
-                           segment_samples=args.segment_mb * (1 << 20) // 2)
+                           segment_samples=args.segment_mb * (1 << 20) // 2,
+                           despackle=args.despackle, rot_level=args.rot,
+                           flip_fields=args.flip)
     else:
-        framer = FR.Framer(cfg, bank, loader)
+        framer = FR.Framer(cfg, bank, loader, despackle=args.despackle,
+                           rot_level=args.rot, flip_fields=args.flip)
 
     if args.seek >= 0:
         nextsample = FR.findframe(fd, framer, args.seek,
@@ -114,7 +129,13 @@ def main(argv=None):
     out_video = open(args.outfile + '.tbc', 'wb')
     out_audio = open(args.outfile + '.pcm', 'wb')
 
+    frozen = None
     for f in range(num_frames):
+        if frozen is not None:
+            # -z freeze-frame (reference app/tbc/main.cpp:160-162): the
+            # first decoded frame repeats for the requested length
+            out_video.write(frozen.tobytes())
+            continue
         # EOF is signalled by the framer itself (fd.tell() is useless
         # here: the segmented framer reads a whole segment ahead)
         combined, audio, nextsample, fields = framer.readframe(
@@ -129,6 +150,8 @@ def main(argv=None):
         out_video.write(combined.tobytes())
         if audio is not None:
             out_audio.write(audio.tobytes())
+        if args.freeze:
+            frozen = combined
 
     out_video.close()
     out_audio.close()

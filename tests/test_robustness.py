@@ -118,6 +118,59 @@ def test_despackle_conceals_rot(cfg):
     assert out2[10, 200] == 5
 
 
+def test_despackle_rot_level(cfg):
+    """-r rot level knob (reference app/tbc/main.cpp:165-168): widens or
+    narrows the despackle detection window around 0..100 IRE."""
+    from ld_decode_tpu.tbc.despackle import despackle
+    pic = np.full((525, 910), 20000, np.uint16)
+    pic[100, 200] = 5                    # ~-42.8 IRE on the .tbc scale
+    # default window (-20..140): a hit
+    out = despackle(pic, rot_level=40.0).reshape(525, 910)
+    assert abs(int(out[100, 200]) - 20000) < 4
+    # widened tolerance (-50..200): not rot any more
+    out2 = despackle(pic, rot_level=100.0).reshape(525, 910)
+    assert out2[100, 200] == 5
+
+
+def test_flip_fields_weave(cfg):
+    """-f field flip (reference app/tbc/main.cpp:152-154): swaps which
+    field lands on even vs odd output rows."""
+    from types import SimpleNamespace
+    bank = F.make_demod_bank(cfg, np.complex64)
+    W = cfg.sys.outlinelen
+    half = 262
+    fa = SimpleNamespace(dspicture=np.full(half * W, 111, np.uint16),
+                         linecount=half)
+    fb = SimpleNamespace(dspicture=np.full(half * W, 222, np.uint16),
+                         linecount=half)
+    fr = FR.Framer(cfg, bank)
+    rows = fr.formatoutput([fa, fb]).reshape(-1, W)
+    assert rows[0, 0] == 111 and rows[1, 0] == 222
+    fr_flip = FR.Framer(cfg, bank, flip_fields=True)
+    rows_f = fr_flip.formatoutput([fa, fb]).reshape(-1, W)
+    assert rows_f[0, 0] == 222 and rows_f[1, 0] == 111
+
+
+def test_cli_freeze_frame(cfg, tmp_path):
+    """-z freeze-frame (reference app/tbc/main.cpp:160-162): one decoded
+    frame repeats for the requested length."""
+    samples = E.encode_frames(cfg, 3, E.EncodeSpec(pattern='flat50',
+                                                   cav_start_frame=900))
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(samples).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import lddecode_tpu
+    rc = lddecode_tpu.main([str(lds), str(tmp_path / 'out'),
+                            '-l', '3', '-z'])
+    assert rc == 0
+    tbc = np.fromfile(tmp_path / 'out.tbc', np.uint16)
+    assert len(tbc) == 3 * 910 * 525
+    frames = tbc.reshape(3, -1)
+    assert np.array_equal(frames[0], frames[1])
+    assert np.array_equal(frames[0], frames[2])
+
+
 def test_cxadc_rate_field_decode():
     """End-to-end field decode at the cxADC 28.8 MSa/s capture rate
     (reference lddecode.py:55 '.r30'/8-bit path, tbc.cpp:166-169)."""
