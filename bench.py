@@ -1,12 +1,23 @@
 #!/usr/bin/env python
 """End-to-end decode benchmark (driver-run on real TPU hardware).
 
-Measures NTSC RF decode throughput — batched FM demod + full TBC to .tbc
-picture + analog audio — in megasamples of RF input per second, against the
-real-time capture rate baseline (40 MSa/s, BASELINE.md).
+Headline: NTSC RF decode throughput — batched FM demod + full TBC to
+.tbc picture + analog audio — in megasamples of RF input per second,
+against the real-time capture rate baseline (40 MSa/s, BASELINE.md).
+
+Also measured (the BASELINE.md §configs matrix) and reported in the
+`extra` field of the same JSON line:
+  - ntsc_noisy_MSa_s: same decode over a capture with realistic RF noise
+    (noise_rms=0.02 → ~1.35 IRE picture noise, the 0.5-2 IRE band real
+    captures show) — proves the lossless picture codec's sustained rate
+    off the clean-content happy path.
+  - full_chain_MSa_s: .lds → .tbc+pcm → 3D comb → RGB48 + CX audio, the
+    complete encode-ntsc equivalent (reference encode-ntsc:4).
+  - pal_MSa_s: PAL end-to-end decode (vs the same 40 MSa/s capture rate).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "MSa/s", "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": "MSa/s", "vs_baseline": ...,
+   "extra": {...}}
 """
 
 import json
@@ -17,65 +28,38 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from ld_decode_tpu.utils.params import DecoderConfig
+def cached_capture(cfg, nframes, spec, tag):
+    """Disk-cached synthetic capture (host encode runs ~3 s/frame)."""
     from ld_decode_tpu.models import encode as E
-    from ld_decode_tpu.ops import filters as F
-    from ld_decode_tpu.io import loaders as L
-    from ld_decode_tpu.tbc import framer as FR
-
-    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
-    print(f'# backend: {jax.default_backend()}', file=sys.stderr)
-
-    # enough frames that warmup + 3 timed passes never hit EOF (an EOF
-    # clamp flushes the whole in-flight chain and poisons the pass).
-    # The synthetic encode runs ~3 s/frame on the host, so the capture is
-    # cached on disk across bench runs.
-    nframes_cap = 132
-    cache = os.path.expanduser(
-        f'~/.cache/ldd_tpu_bench_ntsc40_ramp_{nframes_cap}_v1.npy')
+    cache = os.path.expanduser(f'~/.cache/ldd_tpu_bench_{tag}.npy')
     if os.path.exists(cache):
-        samples = np.load(cache)
-    else:
-        samples = E.encode_frames(cfg, nframes_cap,
-                                  E.EncodeSpec(pattern='ramp',
-                                               cav_start_frame=900))
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.save(cache, samples)
-    bank = F.make_demod_bank(cfg, dtype=np.complex64)
+        return np.load(cache)
+    samples = E.encode_frames(cfg, nframes, spec)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.save(cache, samples)
+    return samples
 
-    samples_per_frame = cfg.freq_hz / cfg.sys.fps
-    start = 33046
 
-    # warmup: compiles every kernel variant; capture stays device-resident.
-    # 52-block windows (~797k samples) still cover the next field's vsync
-    # (the reference reads 1M for the same purpose) with 21% less demod.
-    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
+def warmup_framer(fr, start):
+    """Compile every kernel variant; returns the first steady sample."""
     t0 = time.time()
     f0, rs0, _ = fr.readfield(None, start)
     assert f0 is not None, 'warmup field failed'
-    start = rs0          # first valid field position (skips the VI head)
-    rv = fr.readframe(None, start, True)
+    rv = fr.readframe(None, rs0, True)
     assert rv[0] is not None, 'warmup frame failed'
     rv = fr.readframe(None, rv[2], False)
     assert rv[0] is not None
-    print(f'# warmup/compile: {time.time()-t0:.1f}s', file=sys.stderr)
+    print(f'# warmup/compile: {time.time() - t0:.1f}s', file=sys.stderr)
+    return rv[2]
 
-    # timed: one continuous decode through the capture — no wraps, no
-    # warmup stock riding (the pass count x reps fits inside the capture).
-    # Three timed passes, median reported: the axon tunnel's transfer
-    # rate swings several-fold between runs (measured 7-335 s cumulative
-    # fetch wait for identical work), and the median de-noises that
-    # without hiding a real regression.
-    profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    reps = 35
+
+def sustained_rate(fr, sample, reps, npasses, samples_per_frame, tag,
+                   per_frame=None):
+    """Continuous decode, `npasses` timed windows of `reps` frames each;
+    median MSa/s.  Never wraps (the caller sizes the capture so
+    warmup + npasses*reps fits — an EOF clamp flushes the chain)."""
     rates = []
-    sample = rv[2]
-    for p in range(3):
+    for p in range(npasses):
         nframes = 0
         eof = False
         t0 = time.time()
@@ -84,31 +68,150 @@ def main():
             if rv[0] is None:
                 eof = True
                 break
+            if per_frame is not None:
+                per_frame(rv)
             sample = rv[2]
             nframes += 1
         dt = time.time() - t0
         if nframes:
             rates.append(nframes * samples_per_frame / dt / 1e6)
-            print(f'# pass {p}: {nframes} frames in {dt:.2f}s '
+            print(f'# {tag} pass {p}: {nframes} frames in {dt:.2f}s '
                   f'-> {rates[-1]:.2f} MSa/s', file=sys.stderr)
         if eof:
-            # capture exhausted: report what completed rather than
-            # letting zero-frame passes poison the median
-            print('# EOF mid-pass (capture too short?)', file=sys.stderr)
+            print(f'# {tag}: EOF mid-pass (capture too short?)',
+                  file=sys.stderr)
             break
+    assert rates, f'{tag}: no pass completed any frames'
+    return sorted(rates)[len(rates) // 2]
+
+
+def bench_ntsc(extra):
+    import jax
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    from ld_decode_tpu.ops import filters as F
+    from ld_decode_tpu.tbc import framer as FR
+
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    spf = cfg.freq_hz / cfg.sys.fps
+    bank = F.make_demod_bank(cfg, dtype=np.complex64)
+
+    # ---- headline: clean ramp, 3 x 35 wrap-free frames, median ----
+    # (the axon tunnel's transfer rate swings several-fold between runs;
+    # the median de-noises that without hiding a real regression)
+    samples = cached_capture(
+        cfg, 132, E.EncodeSpec(pattern='ramp', cav_start_frame=900),
+        'ntsc40_ramp_132_v1')
+    # 52-block windows (~797k samples) still cover the next field's vsync
+    # (the reference reads 1M for the same purpose) with 21% less demod
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
+    sample = warmup_framer(fr, 33046)
+
+    profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    headline = sustained_rate(fr, sample, 35, 3, spf, 'ntsc')
     if profile_dir:
         jax.profiler.stop_trace()
-
     if fr.prefetcher is not None:
         print(f'# prefetcher stats: {fr.prefetcher.stats}', file=sys.stderr)
-    assert rates, 'no pass completed any frames'
-    msa_s = sorted(rates)[len(rates) // 2]
+
+    # ---- realistic-noise variant: ~1.35 IRE picture noise ----
+    try:
+        noisy = cached_capture(
+            cfg, 80, E.EncodeSpec(pattern='ramp', cav_start_frame=900,
+                                  noise_rms=0.02),
+            'ntsc40_ramp_noisy02_80_v1')
+        fr.prefetcher.flush()
+        fr_n = FR.Framer(cfg, bank, capture=noisy, batch=8, nblocks=52)
+        s = warmup_framer(fr_n, 33046)
+        extra['ntsc_noisy_MSa_s'] = round(
+            sustained_rate(fr_n, s, 30, 2, spf, 'ntsc-noisy'), 2)
+        if fr_n.prefetcher is not None:
+            print(f'# noisy prefetcher stats: {fr_n.prefetcher.stats}',
+                  file=sys.stderr)
+            fr_n.prefetcher.flush()
+        del fr_n
+    except Exception as e:                         # noqa: BLE001
+        print(f'# ntsc-noisy stage failed: {e!r}', file=sys.stderr)
+
+    # ---- full chain: decode -> 3D comb -> RGB48 + CX (encode-ntsc) ----
+    try:
+        from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig
+        from ld_decode_tpu.audio.cx import CXExpander
+        comb = NTSCComb(CombConfig(dim=3))
+        cx = CXExpander()
+        sink = {'rgb': 0, 'pcm': 0}
+
+        def chain(rv):
+            rgb = comb.process(rv[0])
+            if rgb is not None:
+                sink['rgb'] += rgb.nbytes
+            if rv[1] is not None:
+                sink['pcm'] += cx.process(np.asarray(rv[1]).ravel()).nbytes
+
+        fr_c = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
+        s = warmup_framer(fr_c, 33046)
+        for _ in range(3):                 # comb ring warmup + compiles
+            rv = fr_c.readframe(None, s, False)
+            chain(rv)
+            s = rv[2]
+        extra['full_chain_MSa_s'] = round(
+            sustained_rate(fr_c, s, 24, 2, spf, 'full-chain',
+                           per_frame=chain), 2)
+        print(f'# full-chain output: {sink["rgb"] / 1e6:.1f} MB RGB48, '
+              f'{sink["pcm"] / 1e6:.1f} MB CX audio', file=sys.stderr)
+        if fr_c.prefetcher is not None:
+            fr_c.prefetcher.flush()
+        del fr_c
+    except Exception as e:                         # noqa: BLE001
+        print(f'# full-chain stage failed: {e!r}', file=sys.stderr)
+
+    if fr.prefetcher is not None:
+        fr.prefetcher.flush()
+    return headline
+
+
+def bench_pal(extra):
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    from ld_decode_tpu.ops import filters as F
+    from ld_decode_tpu.tbc import framer as FR
+
+    cfg = DecoderConfig(system='PAL', freq_mhz=40.0)
+    spf = cfg.freq_hz / cfg.sys.fps
+    bank = F.make_demod_bank(cfg, dtype=np.complex64)
+    samples = cached_capture(
+        cfg, 72, E.EncodeSpec(pattern='palbars', cav_start_frame=900),
+        'pal40_bars_72_v1')
+    # the 800k-sample PAL field needs the larger overlap-save window
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=56)
+    s = warmup_framer(fr, 2560 * 14)
+    extra['pal_MSa_s'] = round(
+        sustained_rate(fr, s, 20, 3, spf, 'pal'), 2)
+    if fr.prefetcher is not None:
+        print(f'# pal prefetcher stats: {fr.prefetcher.stats}',
+              file=sys.stderr)
+        fr.prefetcher.flush()
+
+
+def main():
+    import jax
+    print(f'# backend: {jax.default_backend()}', file=sys.stderr)
+    extra = {}
+    headline = bench_ntsc(extra)
+    try:
+        bench_pal(extra)
+    except Exception as e:                         # noqa: BLE001
+        print(f'# pal stage failed: {e!r}', file=sys.stderr)
+
     baseline = 40.0
     print(json.dumps({
         'metric': 'ntsc_demod_tbc_throughput',
-        'value': round(msa_s, 2),
+        'value': round(headline, 2),
         'unit': 'MSa/s',
-        'vs_baseline': round(msa_s / baseline, 3),
+        'vs_baseline': round(headline / baseline, 3),
+        'extra': extra,
     }))
 
 

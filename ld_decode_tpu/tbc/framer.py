@@ -25,7 +25,7 @@ class Framer:
                  nblocks: int = 66, capture: np.ndarray = None,
                  batch: int = 1, despackle: bool = False,
                  segment_samples: int = 0, rot_level: float = 40.0,
-                 flip_fields: bool = False):
+                 flip_fields: bool = False, bff: bool = False):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
@@ -61,6 +61,9 @@ class Framer:
         # field flip (swap which field weaves to even/odd output rows)
         self.rot_level = rot_level
         self.flip_fields = flip_fields
+        # -m "magnetic video mode" (reference main.cpp:148-150): start
+        # frames on the bottom field (VHS-style) instead of sys.topfirst
+        self.bff = bff
         self.decoder = FieldDecoder(cfg, bank, nblocks)
         if loader is not None and batch > 1 and segment_samples <= 0:
             segment_samples = 256 << 20      # 512 MB of u16 by default
@@ -238,7 +241,7 @@ class Framer:
                     fields[0] = f
                 else:
                     fields[1] = f
-                if ((not CAV and (f.istop == cfg.sys.topfirst))
+                if ((not CAV and (f.istop == (cfg.sys.topfirst ^ self.bff)))
                         or (CAV and (f.vbi['framenr'] or f.vbi['minutes']))):
                     fieldcount = 1
                 elif fieldcount == 1:

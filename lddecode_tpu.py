@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument('-z', '--freeze', action='store_true',
                    help='freeze-frame: decode one frame and repeat it '
                         'for the requested length')
+    p.add_argument('-m', '--bff', action='store_true',
+                   help='magnetic video mode: pair frames bottom-field '
+                        'first (VHS-style)')
     p.add_argument('-q', '--quiet', action='store_true',
                    help='warnings and errors only')
     p.add_argument('-d', '--debug', action='store_true',
@@ -99,10 +102,11 @@ def main(argv=None):
         framer = FR.Framer(cfg, bank, loader, batch=args.batch,
                            segment_samples=args.segment_mb * (1 << 20) // 2,
                            despackle=args.despackle, rot_level=args.rot,
-                           flip_fields=args.flip)
+                           flip_fields=args.flip, bff=args.bff)
     else:
         framer = FR.Framer(cfg, bank, loader, despackle=args.despackle,
-                           rot_level=args.rot, flip_fields=args.flip)
+                           rot_level=args.rot, flip_fields=args.flip,
+                           bff=args.bff)
 
     if args.seek >= 0:
         nextsample = FR.findframe(fd, framer, args.seek,

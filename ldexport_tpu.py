@@ -35,6 +35,36 @@ def parse_args(argv=None):
                    help='full 910-dot width (no crop)')
     p.add_argument('-l', '--length', type=int, default=None,
                    help='max frames')
+    # comb tunables (reference comb-ntsc.cxx:972-1068 getopt set)
+    p.add_argument('-F', '--no-opticalflow', action='store_true',
+                   help='dim 3: use the YIQ-diff K-map motion gate '
+                        'instead of Farneback optical flow (comb -F)')
+    p.add_argument('-L', '--no-colorlpf', action='store_true',
+                   help='disable the post chroma LPF (comb -L toggle)')
+    p.add_argument('-Q', '--no-colorlpf-hq', action='store_true',
+                   help='low-quality chroma LPF (comb -Q toggle)')
+    p.add_argument('-A', '--no-adaptive2d', action='store_true',
+                   help='disable adaptive 2D weighting (comb -a toggle; '
+                        '-a is taken by --audio here)')
+    p.add_argument('-c', '--threedcore', type=float, default=None,
+                   help='3D motion-gate core threshold (comb -c)')
+    p.add_argument('--threedrange', type=float, default=None,
+                   help='3D motion-gate range (comb -r)')
+    p.add_argument('-b', '--brightness', type=float, default=None,
+                   help='output brightness scale (comb -b)')
+    p.add_argument('-I', '--black-ire', type=float, default=None,
+                   help='black level IRE, e.g. 0 or 7.5 (comb -I; '
+                        'encode-ntsc uses -I0)')
+    p.add_argument('-n', '--nr-y', type=float, default=None,
+                   help='luma noise-reduction level, IRE (comb -n)')
+    p.add_argument('-N', '--nr-c', type=float, default=None,
+                   help='chroma noise-reduction level, IRE (comb -N)')
+    p.add_argument('-v', '--vbi-area', action='store_true',
+                   help='output the full field height incl. VBI area '
+                        '(comb -v; B&W rows above firstline)')
+    p.add_argument('-8', '--write8bit', action='store_true',
+                   dest='write8bit',
+                   help='emit 8-bit RGB instead of RGB48 (comb -8)')
     p.add_argument('-D', '--debug2d', action='store_true',
                    help='render the 2D-3D chroma difference over gray and '
                         'print per-line/total MSE+ME (reference comb -D; '
@@ -54,20 +84,59 @@ def main(argv=None):
     if args.pal:
         from ld_decode_tpu.comb.comb_pal import PALComb, CombPALConfig, \
             PAL_X, PAL_Y
-        comb = PALComb(CombPALConfig(dim=min(args.dim, 2), bw=args.bw))
+        pkw = dict(dim=args.dim, bw=args.bw)
+        if args.brightness is not None:
+            pkw['brightness'] = args.brightness
+        if args.black_ire is not None:
+            pkw['black_ire'] = args.black_ire
+        if args.nr_y is not None:
+            pkw['nr_y'] = args.nr_y
+        if args.no_adaptive2d:
+            pkw['adaptive2d'] = False
+        if args.threedcore is not None:
+            pkw['p_3dcore'] = args.threedcore
+        if args.threedrange is not None:
+            pkw['p_3drange'] = args.threedrange
+        if args.vbi_area:
+            pkw['linesout'] = PAL_Y
+            pkw['firstline'] = 0
+        comb = PALComb(CombPALConfig(**pkw))
         IN_X, IN_Y = PAL_X, PAL_Y
-        width, height = PAL_X, 576
+        width, height = PAL_X, pkw.get('linesout', 576)
         fps = '25'
     else:
         from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig, \
             IN_X, IN_Y
-        comb = NTSCComb(CombConfig(
+        nkw = dict(
             dim=3 if args.debug2d else args.dim, bw=args.bw, wide=args.wide,
+            opticalflow=not args.no_opticalflow,
+            colorlpf=not args.no_colorlpf,
+            colorlpf_hq=not args.no_colorlpf_hq,
+            adaptive2d=not args.no_adaptive2d,
             debug2d=args.debug2d, showk=args.show_k,
             debugline=args.debug_line if args.debug_line is not None
-            else -10000))
+            else -10000)
+        if args.brightness is not None:
+            nkw['brightness'] = args.brightness
+        if args.black_ire is not None:
+            nkw['black_ire'] = args.black_ire
+        if args.nr_y is not None:
+            nkw['nr_y'] = args.nr_y
+        if args.nr_c is not None:
+            nkw['nr_c'] = args.nr_c
+        # -c/-r tune whichever 3D gate is active (the reference keeps
+        # separate defaults per mode, comb-ntsc.cxx:1070-1078)
+        if args.threedcore is not None:
+            nkw['of_3dcore' if not args.no_opticalflow
+                else 'p_3dcore'] = args.threedcore
+        if args.threedrange is not None:
+            nkw['of_3drange' if not args.no_opticalflow
+                else 'p_3drange'] = args.threedrange
+        if args.vbi_area:
+            nkw['linesout'] = IN_Y
+        comb = NTSCComb(CombConfig(**nkw))
         width = IN_X if args.wide else 744
-        height = 480
+        height = nkw.get('linesout', 480)
         fps = '24000/1001' if args.pulldown else '30000/1001'
 
     ffmpeg = shutil.which('ffmpeg')
@@ -90,7 +159,8 @@ def main(argv=None):
                           ).astype('<i2').tobytes())
 
     if ffmpeg:
-        cmd = [ffmpeg, '-y', '-f', 'rawvideo', '-pix_fmt', 'rgb48le',
+        cmd = [ffmpeg, '-y', '-f', 'rawvideo', '-pix_fmt',
+               'rgb24' if args.write8bit else 'rgb48le',
                '-s', f'{width}x{height}', '-r', fps, '-i', '-']
         if audio_path:
             cmd += ['-f', 's16le', '-ar', '48000', '-ac', '2',
@@ -126,6 +196,8 @@ def main(argv=None):
                           f'{d["me_line"][li]:.6g}', file=sys.stderr)
                 print(f'TOTAL MSE {d["mse"]:.6g} ME {d["me"]:.6g}',
                       file=sys.stderr)
+            if args.write8bit:      # comb -8: top byte only
+                rgb = (np.asarray(rgb) >> 8).astype(np.uint8)
             if pulldown is not None:
                 for film, _code in pulldown.process(
                         rgb, comb.last_frame_words):
@@ -138,6 +210,8 @@ def main(argv=None):
     if hasattr(comb, 'flush'):
         tail = comb.flush()
         if tail is not None:
+            if args.write8bit:
+                tail = (np.asarray(tail) >> 8).astype(np.uint8)
             out_f.write(np.ascontiguousarray(tail).tobytes())
             nframes += 1
 

@@ -129,3 +129,25 @@ def test_pal_comb_3d_motion_gate(pal_frames3):
     assert k2s[120:180, 450:650].mean() > 0.9        # static: 3D confident
     assert k2m[120:180, 450:650].mean() < 0.1        # motion: gated out
     assert k2m[300:400, 450:650].mean() > 0.9        # elsewhere unaffected
+
+
+def test_cli_ldexport_pal_3d(pal_frames3, tmp_path):
+    """ldexport_tpu.py --pal -d 3 (reference encode-pal + the attic
+    comb-pal 3D mode): PAL .tbc stream -> RGB48 through the temporal
+    comb, incl. the flush of the last pending frame."""
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import ldexport_tpu
+
+    tbc = tmp_path / 'pal.tbc'
+    with open(tbc, 'wb') as f:
+        for fr in pal_frames3:
+            f.write(np.asarray(fr, np.uint16).tobytes())
+    rc = ldexport_tpu.main([str(tbc), str(tmp_path / 'mov'),
+                            '--pal', '-d', '3'])
+    assert rc == 0
+    rgb = np.fromfile(tmp_path / 'mov.rgb', '<u2')
+    frame_px = 576 * PAL_X * 3
+    # 3 inputs -> 3 emissions (frame0 2D, frame1 3D, frame2 flushed 2D)
+    assert rgb.size == 3 * frame_px, rgb.size
+    assert rgb.max() > 10000

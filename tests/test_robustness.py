@@ -151,6 +151,27 @@ def test_flip_fields_weave(cfg):
     assert rows_f[0, 0] == 222 and rows_f[1, 0] == 111
 
 
+def test_bff_pairing(cfg):
+    """-m magnetic video mode (reference app/tbc/main.cpp:148-150):
+    frames pair bottom-field-first instead of sys.topfirst."""
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='flat50',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    for bff in (False, True):
+        # batched mode so FieldResult.readsample records decode order
+        fr = FR.Framer(cfg, bank, capture=samples, batch=4, bff=bff)
+        rv = fr.readframe(None, 33046, True)
+        assert rv[0] is not None
+        top, bot = rv[3]
+        assert top.istop and not bot.istop
+        # NTSC is top-first: normally the bottom field is decoded after
+        # the top; in magnetic mode the pair starts on the bottom field
+        if bff:
+            assert bot.readsample < top.readsample
+        else:
+            assert top.readsample < bot.readsample
+
+
 def test_cli_freeze_frame(cfg, tmp_path):
     """-z freeze-frame (reference app/tbc/main.cpp:160-162): one decoded
     frame repeats for the requested length."""
@@ -266,6 +287,17 @@ def test_cli_ldexport_rgb(cfg, tmp_path):
     assert rgb.max() > 10000            # colorbars are bright
     pcm = np.fromfile(tmp_path / 'mov.audio.pcm', '<i2')
     assert pcm.size > 3000
+
+    # comb tunable flags (reference comb-ntsc getopt set): -8 8-bit
+    # output, -v full field height, -L chroma LPF off, -I black IRE
+    rc = ldexport_tpu.main([str(tmp_path / 'dec.tbc'),
+                            str(tmp_path / 'mov8'), '-d', '2', '-8',
+                            '-v', '-L', '-I', '0', '-n', '2'])
+    assert rc == 0
+    rgb8 = np.fromfile(tmp_path / 'mov8.rgb', np.uint8)
+    frame8_px = 525 * 744 * 3            # full height, 8-bit
+    assert rgb8.size % frame8_px == 0 and rgb8.size >= frame8_px
+    assert rgb8.max() > 100
 
 
 def test_cli_cut_mode(cfg, tmp_path):
