@@ -136,29 +136,53 @@ def bench_ntsc(extra):
         print(f'# ntsc-noisy stage failed: {e!r}', file=sys.stderr)
 
     # ---- full chain: decode -> 3D comb -> RGB48 + CX (encode-ntsc) ----
+    # the batched comb driver (comb/batch.py): one jitted scan per
+    # 8-frame window instead of ~6 tunnel round trips per frame
     try:
-        from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig
+        from ld_decode_tpu.comb.batch import NTSCCombBatch
+        from ld_decode_tpu.comb.comb_ntsc import CombConfig
         from ld_decode_tpu.audio.cx import CXExpander
-        comb = NTSCComb(CombConfig(dim=3))
+        CB = 8
+        comb = NTSCCombBatch(CombConfig(dim=3))
         cx = CXExpander()
-        sink = {'rgb': 0, 'pcm': 0}
+        sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': None}
+
+        def harvest():
+            rgbs, _ = comb.collect(sink['pending'])
+            sink['pending'] = None
+            for rgb in rgbs:
+                sink['rgb'] += rgb.nbytes
+
+        def flush():
+            # window k dispatches before window k-1's RGB is collected,
+            # so its compute/fetch overlaps the next frames' decode
+            if sink['buf']:
+                h = comb.feed(np.stack(sink['buf']))
+                sink['buf'] = []
+                harvest()
+                sink['pending'] = h
 
         def chain(rv):
-            rgb = comb.process(rv[0])
-            if rgb is not None:
-                sink['rgb'] += rgb.nbytes
+            sink['buf'].append(np.asarray(rv[0]).reshape(525, 910))
+            if len(sink['buf']) == CB:
+                flush()
             if rv[1] is not None:
                 sink['pcm'] += cx.process(np.asarray(rv[1]).ravel()).nbytes
 
         fr_c = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
         s = warmup_framer(fr_c, 33046)
-        for _ in range(3):                 # comb ring warmup + compiles
+        t0 = time.time()
+        for _ in range(CB):                # fill + compile the comb scan
             rv = fr_c.readframe(None, s, False)
             chain(rv)
             s = rv[2]
+        print(f'# comb-batch warmup/compile: {time.time() - t0:.1f}s',
+              file=sys.stderr)
         extra['full_chain_MSa_s'] = round(
             sustained_rate(fr_c, s, 24, 2, spf, 'full-chain',
                            per_frame=chain), 2)
+        flush()
+        harvest()
         print(f'# full-chain output: {sink["rgb"] / 1e6:.1f} MB RGB48, '
               f'{sink["pcm"] / 1e6:.1f} MB CX audio', file=sys.stderr)
         if fr_c.prefetcher is not None:
@@ -182,10 +206,12 @@ def bench_pal(extra):
     spf = cfg.freq_hz / cfg.sys.fps
     bank = F.make_demod_bank(cfg, dtype=np.complex64)
     samples = cached_capture(
-        cfg, 72, E.EncodeSpec(pattern='palbars', cav_start_frame=900),
-        'pal40_bars_72_v1')
-    # the 800k-sample PAL field needs the larger overlap-save window
-    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=56)
+        cfg, 96, E.EncodeSpec(pattern='palbars', cav_start_frame=900),
+        'pal40_bars_96_v1')
+    # the 800k-sample PAL field needs the larger overlap-save window;
+    # batch=16 measured ~11% over batch=8 (dispatch amortization; the
+    # deeper speculation needs the 96-frame capture to stay EOF-free)
+    fr = FR.Framer(cfg, bank, capture=samples, batch=16, nblocks=56)
     s = warmup_framer(fr, 2560 * 14)
     extra['pal_MSa_s'] = round(
         sustained_rate(fr, s, 20, 3, spf, 'pal'), 2)

@@ -41,7 +41,26 @@ F500, F40 = _filters()
 
 def envelope_followers(maxenv: np.ndarray, fast0: float = 0.0,
                        slow0: float = 0.0):
-    """The dual-speed envelope recurrences, vectorized via lax.scan."""
+    """The dual-speed envelope recurrences.
+
+    Short inputs (a frame's worth of audio, ~1600 samples) run as a host
+    loop: a device dispatch costs ~30-400 ms through the axon tunnel,
+    which made per-frame CX the silent bottleneck of the full decode
+    chain.  Long inputs (file-level processing) keep the lax.scan."""
+    if len(maxenv) < 32768:
+        fast, slow = float(fast0), float(slow0)
+        out_f = np.empty(len(maxenv))
+        out_s = np.empty(len(maxenv))
+        for i, m in enumerate(np.asarray(maxenv, np.float64)):
+            fast *= .9998
+            if m > fast:
+                fast = min(m, fast + m * .040)
+            slow *= .999985
+            if m > slow:
+                slow = min(m, slow + m * .0020)
+            out_f[i] = fast
+            out_s[i] = slow
+        return out_f, out_s
 
     def step(carry, m):
         fast, slow = carry

@@ -1,0 +1,210 @@
+"""Batched streaming driver for the NTSC comb: one jitted call per
+window of frames.
+
+The frame-at-a-time driver (`comb_ntsc.NTSCComb.process`) mirrors the
+reference's stdin loop (comb-ntsc.cxx:1099-1117) and is correct, but on
+a remote-tunneled TPU it pays, per frame: a dispatch round trip for the
+flow luma + a full-frame fetch of it, two Farneback dispatches with
+their flow-field fetches, and a final comb dispatch plus the RGB48
+fetch — ~6 round trips and ~8 MB of transfers each, which caps the
+full decode->RGB chain near 1 fps regardless of compute speed.
+
+This driver runs the SAME math as the streaming one — `flow_luma`,
+the Farneback chain (optflow.py), `_frame_core` — but restructured the
+TPU-native way:
+
+  * a window of M frames uploads in one host->device put;
+  * ONE jitted call emits all M-1 frames: the per-field optical-flow
+    chain is a `lax.scan` (the flow of emission e seeds emission e+1,
+    exactly the streaming OPTFLOW_USE_INITIAL_FLOW protocol), and the
+    burst-AGC EMA rides the same scan carry;
+  * the RGB48 output comes back as per-frame chunks fetched eagerly on
+    executor threads (the same saturation trick tbc/pipeline.py uses).
+
+Emission protocol parity with NTSCComb (pinned by tests/test_comb_batch.py):
+dim 3 + optical flow never emits frame 0 and emits frame e when frame
+e+1 arrives; dim 3 without flow emits e from the (e-1, e, e+1) ring;
+dims 1/2 emit every frame immediately.  The first flow of a stream uses
+a zero initial field, which is bit-identical to the streaming path's
+use_initial_flow=False (the pyramid seeds zeros either way).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_decode_tpu.comb.comb_ntsc import (
+    CombConfig, IN_X, IN_Y, _frame_core, flow_luma)
+from ld_decode_tpu.comb.optflow import _farneback_jit
+
+# flow-field geometry (comb-ntsc.cxx:606-615): each field's luma is a
+# 252x840 image; the pyramid cap keeps both dims >= 32 px, which for
+# 252 rows at pyr_scale 0.5 caps the requested 4 levels to 2
+_CYSIZE, _CXSIZE = 252, IN_X - 70
+_FB_LEVELS = 2
+
+
+def _field_pics(lum: jnp.ndarray) -> jnp.ndarray:
+    """(Y, X) luma -> (2, 252, 840) u16-quantized field images, the
+    exact extraction the streaming driver feeds the flow engine."""
+    out = []
+    for field in range(2):
+        rows = np.clip(23 + field + 2 * np.arange(_CYSIZE), 0, IN_Y - 1)
+        pic = jnp.clip(lum[rows, 70:70 + _CXSIZE], 0, 65535
+                       ).astype(jnp.uint16)
+        out.append(pic)
+    return jnp.stack(out)
+
+
+def _crop(rgb: jnp.ndarray, cfg: CombConfig) -> jnp.ndarray:
+    return rgb if cfg.wide else rgb[:, 78:78 + 744]
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _comb_window_of(win, flow0, ab0, cfg: CombConfig):
+    """win: (M, Y, X) u16.  Emits frames win[0..M-2], each against its
+    successor, chaining the per-field flow and the burst AGC."""
+    lum = jax.vmap(lambda f: flow_luma(f, cfg))(win)
+    pics = jax.vmap(_field_pics)(lum)              # (M, 2, 252, 840)
+
+    def step(carry, x):
+        flow_c, ab = carry
+        cur, nxt, pc, pn = x
+        flows = []
+        for field in range(2):
+            # streaming arg order: prev_img = the NEWER field image
+            # (farneback_combk2: pic=now, prev_pics=older)
+            flows.append(_farneback_jit(
+                pn[field], pc[field], flow_c[field], 0.5, _FB_LEVELS,
+                60, 3, 7, 1.5, True))
+        flow_n = jnp.stack(flows)
+        mag = jnp.sqrt(flow_n[..., 1] ** 2 + (flow_n[..., 0] * 2) ** 2)
+        c = 1.0 - jnp.clip((mag - cfg.of_3dcore) / cfg.of_3drange, 0, 1)
+        c = jnp.minimum(c[0], c[1])
+        combk2 = jnp.pad(jnp.repeat(c, 2, axis=0),
+                         ((0, IN_Y - 2 * _CYSIZE), (70, 0)))
+        rgb, ab2, _ = _frame_core(cur, nxt, nxt, ab, cfg,
+                                  combk2_in=combk2)
+        return (flow_n, ab2), (_crop(rgb, cfg), cur[0, :16])
+
+    xs = (win[:-1], win[1:], pics[:-1], pics[1:])
+    (flow_n, ab), (rgb, words) = jax.lax.scan(step, (flow0, ab0), xs)
+    return rgb, words, flow_n, ab
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _comb_window_ring(win, ab0, cfg: CombConfig):
+    """No-opticalflow dim 3: emit win[1..M-2] from (e-1, e, e+1) rings."""
+    def step(ab, x):
+        prv, cur, nxt = x
+        rgb, ab2, _ = _frame_core(cur, prv, nxt, ab, cfg)
+        return ab2, (_crop(rgb, cfg), cur[0, :16])
+
+    xs = (win[:-2], win[1:-1], win[2:])
+    ab, (rgb, words) = jax.lax.scan(step, ab0, xs)
+    return rgb, words, ab
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _comb_window_simple(win, ab0, cfg: CombConfig):
+    """dims 1/2: every frame emits; only the AGC chains."""
+    def step(ab, cur):
+        rgb, ab2, _ = _frame_core(cur, cur, cur, ab, cfg)
+        return ab2, (_crop(rgb, cfg), cur[0, :16])
+
+    ab, (rgb, words) = jax.lax.scan(step, ab0, win)
+    return rgb, words, ab
+
+
+class NTSCCombBatch:
+    """Batched drop-in for NTSCComb: `feed(frames)` dispatches a window,
+    `collect(handle)` returns (rgb_list, words_list); `process_many` is
+    the blocking combination.  Debug surfaces (-D/-k/-l) stay on the
+    streaming driver."""
+
+    def __init__(self, cfg: CombConfig = CombConfig(), fetch_streams=8):
+        if cfg.debug2d or cfg.showk or cfg.debugline > -9999:
+            raise ValueError('debug surfaces need the streaming NTSCComb')
+        self.cfg = cfg
+        self._pend: Optional[jnp.ndarray] = None   # (k, Y, X) device
+        self._flow = jnp.zeros((2, _CYSIZE, _CXSIZE, 2), jnp.float32)
+        self.aburstlev = jnp.float32(-1.0)
+        self._started = False
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=fetch_streams)
+        self.stats = {'t_feed': 0.0, 't_collect': 0.0, 'windows': 0}
+
+    def feed(self, frames: np.ndarray):
+        """frames: (N, IN_Y*IN_X) or (N, IN_Y, IN_X) uint16.  Dispatches
+        the comb for every emittable frame; returns a handle for
+        collect(), or None if nothing can emit yet."""
+        import time as _time
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+        frames = np.asarray(frames).reshape(-1, IN_Y, IN_X)
+        dev = jnp.asarray(frames)
+        try:
+            return self._feed(dev)
+        finally:
+            self.stats['t_feed'] += _time.perf_counter() - t0
+
+    def _feed(self, dev):
+        cfg = self.cfg
+        if cfg.dim < 3:
+            rgb, words, self.aburstlev = _comb_window_simple(
+                dev, self.aburstlev, cfg)
+            return self._eager_fetch(rgb, words)
+
+        if not self._started and cfg.opticalflow and dev.shape[0]:
+            # stream start: frame 0 is never emitted in flow mode (its
+            # ring slot is the unused prv input, comb-ntsc.cxx:860-866)
+            dev = dev[1:]
+            self._started = True
+        if self._pend is not None:
+            dev = jnp.concatenate([self._pend, dev]) \
+                if dev.shape[0] else self._pend
+        keep = 1 if cfg.opticalflow else 2
+        if dev.shape[0] <= keep:
+            self._pend = dev
+            return None
+        self._pend = dev[-keep:]
+        if cfg.opticalflow:
+            rgb, words, self._flow, self.aburstlev = _comb_window_of(
+                dev, self._flow, self.aburstlev, cfg)
+        else:
+            rgb, words, self.aburstlev = _comb_window_ring(
+                dev, self.aburstlev, cfg)
+        return self._eager_fetch(rgb, words)
+
+    def _eager_fetch(self, rgb, words):
+        # the tunnel D2H link wants many small concurrent streams
+        # (measured: 64 x 256 KB on 8 workers ~3x one 2 MB/frame slice)
+        flat = rgb.reshape(-1)
+        n = int(flat.shape[0])
+        k = max(1, min(64, n // (128 * 1024)))
+        step = -(-n // k)
+        futs = [self._ex.submit(np.asarray, flat[i * step:(i + 1) * step])
+                for i in range(k)]
+        self.stats['windows'] += 1
+        return futs, words, rgb.shape
+
+    def collect(self, handle) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        if handle is None:
+            return [], []
+        import time as _time
+        t0 = _time.perf_counter()
+        futs, words, shape = handle
+        w = np.asarray(words)
+        rgb = np.concatenate([f.result() for f in futs]).reshape(shape)
+        self.stats['t_collect'] += _time.perf_counter() - t0
+        return list(rgb), [w[e] for e in range(shape[0])]
+
+    def process_many(self, frames: np.ndarray) -> List[np.ndarray]:
+        rgbs, _ = self.collect(self.feed(frames))
+        return rgbs

@@ -65,6 +65,14 @@ def parse_args(argv=None):
     p.add_argument('-8', '--write8bit', action='store_true',
                    dest='write8bit',
                    help='emit 8-bit RGB instead of RGB48 (comb -8)')
+    p.add_argument('--write-images', action='store_true',
+                   help='write each frame as <out>_<n>.rgb instead of '
+                        'one stream (comb -f image mode)')
+    p.add_argument('--comb-batch', type=int, default=1,
+                   help='NTSC: comb N frames per device call '
+                        '(comb/batch.py; amortizes dispatch+transfer '
+                        'latency ~Nx on remote TPUs; debug flags force '
+                        'the frame-at-a-time driver)')
     p.add_argument('-D', '--debug2d', action='store_true',
                    help='render the 2D-3D chroma difference over gray and '
                         'print per-line/total MSE+ME (reference comb -D; '
@@ -134,7 +142,8 @@ def main(argv=None):
                 else 'p_3drange'] = args.threedrange
         if args.vbi_area:
             nkw['linesout'] = IN_Y
-        comb = NTSCComb(CombConfig(**nkw))
+        ccfg = CombConfig(**nkw)
+        comb = NTSCComb(ccfg)
         width = IN_X if args.wide else 744
         height = nkw.get('linesout', 480)
         fps = '24000/1001' if args.pulldown else '30000/1001'
@@ -180,40 +189,80 @@ def main(argv=None):
         pulldown = PulldownAssembler()
 
     nframes = 0
+
+    def write_one(frame_rgb):
+        nonlocal nframes
+        if args.write_images:       # comb -f: per-frame .rgb files
+            with open(f'{args.out}_{nframes}.rgb', 'wb') as imf:
+                imf.write(np.ascontiguousarray(frame_rgb).tobytes())
+        else:
+            out_f.write(np.ascontiguousarray(frame_rgb).tobytes())
+        nframes += 1
+
+    def emit(rgb, words):
+        if args.length is not None and nframes >= args.length:
+            return
+        if args.write8bit:      # comb -8: top byte only
+            rgb = (np.asarray(rgb) >> 8).astype(np.uint8)
+        if pulldown is not None:
+            for film, _code in pulldown.process(rgb, words):
+                write_one(film)
+        else:
+            write_one(rgb)
+
+    use_batch = (args.comb_batch > 1 and not args.pal
+                 and not (args.debug2d or args.show_k
+                          or args.debug_line is not None))
+    if use_batch:
+        from ld_decode_tpu.comb.batch import NTSCCombBatch
+        comb = NTSCCombBatch(ccfg)
+
     with open(args.intbc, 'rb') as f:
-        while args.length is None or nframes < args.length:
-            buf = f.read(frame_bytes)
-            if len(buf) < frame_bytes:
-                break
-            frame = np.frombuffer(buf, np.uint16)
-            rgb = comb.process(frame)
-            if rgb is None:          # 3D warmup
-                continue
-            if getattr(comb, 'last_debug2d', None) is not None:
-                d = comb.last_debug2d
-                for li in range(36, 524):
-                    print(f'{li} {d["mse_line"][li]:.6g} ME '
-                          f'{d["me_line"][li]:.6g}', file=sys.stderr)
-                print(f'TOTAL MSE {d["mse"]:.6g} ME {d["me"]:.6g}',
-                      file=sys.stderr)
-            if args.write8bit:      # comb -8: top byte only
-                rgb = (np.asarray(rgb) >> 8).astype(np.uint8)
-            if pulldown is not None:
-                for film, _code in pulldown.process(
-                        rgb, comb.last_frame_words):
-                    out_f.write(np.ascontiguousarray(film).tobytes())
-                    nframes += 1
-            else:
-                out_f.write(np.ascontiguousarray(rgb).tobytes())
-                nframes += 1
+        if use_batch:
+            # windowed: feed window k while window k-1's RGB fetches
+            pending = None
+            while args.length is None or nframes < args.length:
+                raw = f.read(frame_bytes * args.comb_batch)
+                n = len(raw) // frame_bytes
+                if n:
+                    handle = comb.feed(np.frombuffer(
+                        raw[:n * frame_bytes], np.uint16).reshape(n, -1))
+                if pending is not None:
+                    for rgb, w in zip(*comb.collect(pending)):
+                        emit(rgb, w)
+                if n == 0:
+                    pending = None
+                    break
+                pending = handle
+                if n < args.comb_batch:
+                    break
+            if pending is not None:
+                for rgb, w in zip(*comb.collect(pending)):
+                    emit(rgb, w)
+        else:
+            while args.length is None or nframes < args.length:
+                buf = f.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    break
+                frame = np.frombuffer(buf, np.uint16)
+                rgb = comb.process(frame)
+                if rgb is None:          # 3D warmup
+                    continue
+                if getattr(comb, 'last_debug2d', None) is not None:
+                    d = comb.last_debug2d
+                    for li in range(36, 524):
+                        print(f'{li} {d["mse_line"][li]:.6g} ME '
+                              f'{d["me_line"][li]:.6g}', file=sys.stderr)
+                    print(f'TOTAL MSE {d["mse"]:.6g} ME {d["me"]:.6g}',
+                          file=sys.stderr)
+                emit(rgb, comb.last_frame_words)
 
     if hasattr(comb, 'flush'):
         tail = comb.flush()
         if tail is not None:
             if args.write8bit:
                 tail = (np.asarray(tail) >> 8).astype(np.uint8)
-            out_f.write(np.ascontiguousarray(tail).tobytes())
-            nframes += 1
+            write_one(tail)
 
     out_f.close()
     if sink:

@@ -288,15 +288,27 @@ def test_cli_ldexport_rgb(cfg, tmp_path):
     pcm = np.fromfile(tmp_path / 'mov.audio.pcm', '<i2')
     assert pcm.size > 3000
 
+    # --comb-batch: the windowed device driver must write the same
+    # stream as the frame-at-a-time one (1-LSB f32 fusion tolerance)
+    rc = ldexport_tpu.main([str(tmp_path / 'dec.tbc'),
+                            str(tmp_path / 'movb'), '-d', '2',
+                            '--comb-batch', '2'])
+    assert rc == 0
+    rgb_b = np.fromfile(tmp_path / 'movb.rgb', '<u2')
+    assert rgb_b.size == rgb.size
+    assert np.abs(rgb_b.astype(np.int64) - rgb.astype(np.int64)).max() <= 1
+
     # comb tunable flags (reference comb-ntsc getopt set): -8 8-bit
-    # output, -v full field height, -L chroma LPF off, -I black IRE
+    # output, -v full field height, -L chroma LPF off, -I black IRE,
+    # -f per-frame image files
     rc = ldexport_tpu.main([str(tmp_path / 'dec.tbc'),
                             str(tmp_path / 'mov8'), '-d', '2', '-8',
-                            '-v', '-L', '-I', '0', '-n', '2'])
+                            '-v', '-L', '-I', '0', '-n', '2',
+                            '--write-images'])
     assert rc == 0
-    rgb8 = np.fromfile(tmp_path / 'mov8.rgb', np.uint8)
     frame8_px = 525 * 744 * 3            # full height, 8-bit
-    assert rgb8.size % frame8_px == 0 and rgb8.size >= frame8_px
+    rgb8 = np.fromfile(tmp_path / 'mov8_0.rgb', np.uint8)
+    assert rgb8.size == frame8_px
     assert rgb8.max() > 100
 
 
