@@ -103,14 +103,18 @@ def bench_ntsc(extra):
         cfg, 132, E.EncodeSpec(pattern='ramp', cav_start_frame=900),
         'ntsc40_ramp_132_v1')
     # 52-block windows (~797k samples) still cover the next field's vsync
-    # (the reference reads 1M for the same purpose) with 21% less demod
-    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
+    # (the reference reads 1M for the same purpose) with 21% less demod;
+    # batch=16 measured ~+20% over batch=8 (same-window probe: medians
+    # 70.3 vs 53.6-58.1 MSa/s) — deeper dispatch amortization
+    fr = FR.Framer(cfg, bank, capture=samples, batch=16, nblocks=52)
     sample = warmup_framer(fr, 33046)
 
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    headline = sustained_rate(fr, sample, 35, 3, spf, 'ntsc')
+    # 3x32 frames + warmup + the 24-frame speculative lookahead fit the
+    # 132-frame capture without an EOF clamp
+    headline = sustained_rate(fr, sample, 32, 3, spf, 'ntsc')
     if profile_dir:
         jax.profiler.stop_trace()
     if fr.prefetcher is not None:
@@ -119,14 +123,14 @@ def bench_ntsc(extra):
     # ---- realistic-noise variant: ~1.35 IRE picture noise ----
     try:
         noisy = cached_capture(
-            cfg, 80, E.EncodeSpec(pattern='ramp', cav_start_frame=900,
+            cfg, 104, E.EncodeSpec(pattern='ramp', cav_start_frame=900,
                                   noise_rms=0.02),
-            'ntsc40_ramp_noisy02_80_v1')
+            'ntsc40_ramp_noisy02_104_v1')
         fr.prefetcher.flush()
-        fr_n = FR.Framer(cfg, bank, capture=noisy, batch=8, nblocks=52)
+        fr_n = FR.Framer(cfg, bank, capture=noisy, batch=16, nblocks=52)
         s = warmup_framer(fr_n, 33046)
         extra['ntsc_noisy_MSa_s'] = round(
-            sustained_rate(fr_n, s, 30, 2, spf, 'ntsc-noisy'), 2)
+            sustained_rate(fr_n, s, 24, 3, spf, 'ntsc-noisy'), 2)
         if fr_n.prefetcher is not None:
             print(f'# noisy prefetcher stats: {fr_n.prefetcher.stats}',
                   file=sys.stderr)
@@ -137,13 +141,15 @@ def bench_ntsc(extra):
 
     # ---- full chain: decode -> 3D comb -> RGB48 + CX (encode-ntsc) ----
     # the batched comb driver (comb/batch.py): one jitted scan per
-    # 8-frame window instead of ~6 tunnel round trips per frame
-    try:
+    # 8-frame window instead of ~6 tunnel round trips per frame.
+    # Measured twice: RGB48 output (the encode-ntsc default) and the
+    # comb -8 8-bit mode, which halves the binding D2H byte stream.
+    def run_chain(metric, tag, out8):
         from ld_decode_tpu.comb.batch import NTSCCombBatch
         from ld_decode_tpu.comb.comb_ntsc import CombConfig
         from ld_decode_tpu.audio.cx import CXExpander
         CB = 8
-        comb = NTSCCombBatch(CombConfig(dim=3))
+        comb = NTSCCombBatch(CombConfig(dim=3), out8=out8)
         cx = CXExpander()
         sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': None}
 
@@ -178,16 +184,18 @@ def bench_ntsc(extra):
             s = rv[2]
         print(f'# comb-batch warmup/compile: {time.time() - t0:.1f}s',
               file=sys.stderr)
-        extra['full_chain_MSa_s'] = round(
-            sustained_rate(fr_c, s, 24, 2, spf, 'full-chain',
-                           per_frame=chain), 2)
+        extra[metric] = round(
+            sustained_rate(fr_c, s, 24, 2, spf, tag, per_frame=chain), 2)
         flush()
         harvest()
-        print(f'# full-chain output: {sink["rgb"] / 1e6:.1f} MB RGB48, '
+        print(f'# {tag} output: {sink["rgb"] / 1e6:.1f} MB RGB, '
               f'{sink["pcm"] / 1e6:.1f} MB CX audio', file=sys.stderr)
         if fr_c.prefetcher is not None:
             fr_c.prefetcher.flush()
-        del fr_c
+
+    try:
+        run_chain('full_chain_MSa_s', 'full-chain', False)
+        run_chain('full_chain_rgb8_MSa_s', 'full-chain-8bit', True)
     except Exception as e:                         # noqa: BLE001
         print(f'# full-chain stage failed: {e!r}', file=sys.stderr)
 

@@ -111,6 +111,11 @@ def _comb_window_ring(win, ab0, cfg: CombConfig):
     return rgb, words, ab
 
 
+@jax.jit
+def _to_rgb8(rgb):
+    return (rgb >> 8).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def _comb_window_simple(win, ab0, cfg: CombConfig):
     """dims 1/2: every frame emits; only the AGC chains."""
@@ -128,10 +133,14 @@ class NTSCCombBatch:
     the blocking combination.  Debug surfaces (-D/-k/-l) stay on the
     streaming driver."""
 
-    def __init__(self, cfg: CombConfig = CombConfig(), fetch_streams=8):
+    def __init__(self, cfg: CombConfig = CombConfig(), fetch_streams=8,
+                 out8: bool = False):
         if cfg.debug2d or cfg.showk or cfg.debugline > -9999:
             raise ValueError('debug surfaces need the streaming NTSCComb')
         self.cfg = cfg
+        # comb -8 on device: top byte only, halving the D2H bytes (the
+        # binding constraint of the full chain on tunneled hosts)
+        self.out8 = out8
         self._pend: Optional[jnp.ndarray] = None   # (k, Y, X) device
         self._flow = jnp.zeros((2, _CYSIZE, _CXSIZE, 2), jnp.float32)
         self.aburstlev = jnp.float32(-1.0)
@@ -183,6 +192,8 @@ class NTSCCombBatch:
         return self._eager_fetch(rgb, words)
 
     def _eager_fetch(self, rgb, words):
+        if self.out8:
+            rgb = _to_rgb8(rgb)
         # the tunnel D2H link wants many small concurrent streams
         # (measured: 64 x 256 KB on 8 workers ~3x one 2 MB/frame slice)
         flat = rgb.reshape(-1)

@@ -202,7 +202,8 @@ def main(argv=None):
     def emit(rgb, words):
         if args.length is not None and nframes >= args.length:
             return
-        if args.write8bit:      # comb -8: top byte only
+        if args.write8bit and np.asarray(rgb).dtype != np.uint8:
+            # comb -8: top byte only (batched driver converts on device)
             rgb = (np.asarray(rgb) >> 8).astype(np.uint8)
         if pulldown is not None:
             for film, _code in pulldown.process(rgb, words):
@@ -215,7 +216,7 @@ def main(argv=None):
                           or args.debug_line is not None))
     if use_batch:
         from ld_decode_tpu.comb.batch import NTSCCombBatch
-        comb = NTSCCombBatch(ccfg)
+        comb = NTSCCombBatch(ccfg, out8=args.write8bit)
 
     with open(args.intbc, 'rb') as f:
         if use_batch:
@@ -255,7 +256,7 @@ def main(argv=None):
                               f'{d["me_line"][li]:.6g}', file=sys.stderr)
                     print(f'TOTAL MSE {d["mse"]:.6g} ME {d["me"]:.6g}',
                           file=sys.stderr)
-                emit(rgb, comb.last_frame_words)
+                emit(rgb, getattr(comb, 'last_frame_words', None))
 
     if hasattr(comb, 'flush'):
         tail = comb.flush()

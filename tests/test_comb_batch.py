@@ -93,3 +93,16 @@ def test_batch_words_for_pulldown(tbc_frames):
     assert len(rgbs) == len(words) == 3
     for f, w in zip(frames, words):
         assert np.array_equal(w, f.reshape(525, 910)[0, :16])
+
+
+def test_batch_out8(tbc_frames):
+    """out8 (comb -8 on device) ships the top byte only."""
+    cfg = CombConfig(dim=2)
+    frames = _frames6(tbc_frames)[:3]
+    want = _stream(frames, cfg)
+    got = NTSCCombBatch(cfg, out8=True).process_many(np.stack(frames))
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        assert g.dtype == np.uint8
+        d = np.abs(g.astype(np.int64) - (w >> 8).astype(np.int64))
+        assert d.max() <= 1, d.max()
