@@ -21,6 +21,10 @@ TPU-native way:
   * the RGB48 output comes back as per-frame chunks fetched eagerly on
     executor threads (the same saturation trick tbc/pipeline.py uses).
 
+PALCombBatch applies the same restructuring to the PAL comb — simpler,
+because the PAL driver carries no cross-frame state at all (no AGC EMA,
+no flow), so whole windows vmap instead of scanning.
+
 Emission protocol parity with NTSCComb (pinned by tests/test_comb_batch.py):
 dim 3 + optical flow never emits frame 0 and emits frame e when frame
 e+1 arrives; dim 3 without flow emits e from the (e-1, e, e+1) ring;
@@ -41,6 +45,8 @@ import numpy as np
 
 from ld_decode_tpu.comb.comb_ntsc import (
     CombConfig, IN_X, IN_Y, _frame_core, flow_luma)
+from ld_decode_tpu.comb.comb_pal import (
+    CombPALConfig, PAL_X, PAL_Y, comb_pal_frame)
 from ld_decode_tpu.comb.optflow import _farneback_jit
 
 # flow-field geometry (comb-ntsc.cxx:606-615): each field's luma is a
@@ -125,6 +131,108 @@ def _comb_window_simple(win, ab0, cfg: CombConfig):
 
     ab, (rgb, words) = jax.lax.scan(step, ab0, win)
     return rgb, words, ab
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _pal_window_simple(win, cfg):
+    """PAL dims 1/2: no cross-frame state at all — pure vmap."""
+    return jax.vmap(lambda f: comb_pal_frame(f, cfg)[0])(win)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _pal_window_3d(win, cfg):
+    """PAL dim 3: emit win[1..M-2] from (e-1, e, e+1) rings; the PAL
+    comb has no AGC carry, so the whole window vmaps (no scan)."""
+    return jax.vmap(
+        lambda p, c, n: comb_pal_frame(c, cfg, p, n)[0])(
+        win[:-2], win[1:-1], win[2:])
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _pal_frame_2d(frame, cfg):
+    return comb_pal_frame(frame, cfg)[0]
+
+
+class PALCombBatch:
+    """Batched drop-in for PALComb with the NTSCCombBatch feed/collect
+    protocol.  Emission order matches the streaming driver exactly:
+    frame 0 comes back 2D, frame k-1 3D when frame k arrives, flush()
+    returns the final pending frame 2D."""
+
+    def __init__(self, cfg: CombPALConfig = CombPALConfig(),
+                 fetch_streams=8, out8: bool = False):
+        self.cfg = cfg
+        self.out8 = out8
+        self._pend = None           # (k, Y, X) device, k <= 2 (dim 3)
+        self._first = True
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=fetch_streams)
+        self.stats = {'t_feed': 0.0, 't_collect': 0.0, 'windows': 0}
+
+    def feed(self, frames: np.ndarray):
+        import time as _time
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+        frames = np.asarray(frames).reshape(-1, PAL_Y, PAL_X)
+        dev = jnp.asarray(frames)
+        try:
+            if cfg.dim < 3:
+                if not dev.shape[0]:
+                    return None
+                return self._fetch(_pal_window_simple(dev, cfg))
+            head = None
+            if self._first and dev.shape[0]:
+                head = _pal_frame_2d(dev[0], cfg)[None]  # frame 0: 2D
+                self._first = False
+            if self._pend is not None:
+                dev = jnp.concatenate([self._pend, dev]) \
+                    if dev.shape[0] else self._pend
+            if dev.shape[0] < 3:
+                self._pend = dev
+                return self._fetch(head) if head is not None else None
+            self._pend = dev[-2:]
+            rgb = _pal_window_3d(dev, cfg)
+            if head is not None:
+                rgb = jnp.concatenate([head, rgb])
+            return self._fetch(rgb)
+        finally:
+            self.stats['t_feed'] += _time.perf_counter() - t0
+
+    def _fetch(self, rgb):
+        if self.out8:
+            rgb = _to_rgb8(rgb)
+        flat = rgb.reshape(-1)
+        n = int(flat.shape[0])
+        k = max(1, min(64, n // (128 * 1024)))
+        step = -(-n // k)
+        futs = [self._ex.submit(np.asarray, flat[i * step:(i + 1) * step])
+                for i in range(k)]
+        self.stats['windows'] += 1
+        return futs, rgb.shape
+
+    def collect(self, handle):
+        """(rgb_list, words_list) — words are None (PAL has no pulldown
+        metadata), keeping the NTSCCombBatch API shape."""
+        if handle is None:
+            return [], []
+        import time as _time
+        t0 = _time.perf_counter()
+        futs, shape = handle
+        rgb = np.concatenate([f.result() for f in futs]).reshape(shape)
+        self.stats['t_collect'] += _time.perf_counter() - t0
+        return list(rgb), [None] * shape[0]
+
+    def process_many(self, frames: np.ndarray):
+        return self.collect(self.feed(frames))[0]
+
+    def flush(self):
+        """Final pending frame, 2D (no successor) — streaming parity."""
+        if self.cfg.dim < 3 or self._pend is None or self._pend.shape[0] < 2:
+            return None
+        rgb = np.asarray(_pal_frame_2d(self._pend[-1], self.cfg))
+        if self.out8:
+            rgb = (rgb >> 8).astype(np.uint8)
+        return rgb
 
 
 class NTSCCombBatch:

@@ -211,10 +211,13 @@ def main(argv=None):
         else:
             write_one(rgb)
 
-    use_batch = (args.comb_batch > 1 and not args.pal
+    use_batch = (args.comb_batch > 1
                  and not (args.debug2d or args.show_k
                           or args.debug_line is not None))
-    if use_batch:
+    if use_batch and args.pal:
+        from ld_decode_tpu.comb.batch import PALCombBatch
+        comb = PALCombBatch(comb.cfg, out8=args.write8bit)
+    elif use_batch:
         from ld_decode_tpu.comb.batch import NTSCCombBatch
         comb = NTSCCombBatch(ccfg, out8=args.write8bit)
 
@@ -261,7 +264,7 @@ def main(argv=None):
     if hasattr(comb, 'flush'):
         tail = comb.flush()
         if tail is not None:
-            if args.write8bit:
+            if args.write8bit and np.asarray(tail).dtype != np.uint8:
                 tail = (np.asarray(tail) >> 8).astype(np.uint8)
             write_one(tail)
 

@@ -106,3 +106,30 @@ def test_batch_out8(tbc_frames):
         assert g.dtype == np.uint8
         d = np.abs(g.astype(np.int64) - (w >> 8).astype(np.int64))
         assert d.max() <= 1, d.max()
+
+
+def test_pal_batch_matches_stream():
+    """PALCombBatch vs the streaming PALComb: same emissions (frame 0
+    2D, 3D thereafter, flush 2D) across window boundaries."""
+    from ld_decode_tpu.comb.batch import PALCombBatch
+    from ld_decode_tpu.comb.comb_pal import PALComb, CombPALConfig, PAL_X
+    from tests.test_comb_pal import pal_frames3 as make_pal  # fixture fn
+
+    frames = make_pal.__wrapped__()
+    for dim in (2, 3):
+        cfg = CombPALConfig(dim=dim)
+        s = PALComb(cfg)
+        want = [r for r in (s.process(f) for f in frames) if r is not None]
+        tail = s.flush()
+        if tail is not None:
+            want.append(tail)
+        b = PALCombBatch(cfg)
+        got = b.process_many(np.stack(frames[:2]))
+        got += b.process_many(np.stack(frames[2:]))
+        ftail = b.flush()
+        if ftail is not None:
+            got.append(ftail)
+        assert len(got) == len(want) == 3
+        for g, w in zip(got, want):
+            assert g.shape == (576, PAL_X, 3)
+            _close(g, w)

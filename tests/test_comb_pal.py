@@ -151,3 +151,11 @@ def test_cli_ldexport_pal_3d(pal_frames3, tmp_path):
     # 3 inputs -> 3 emissions (frame0 2D, frame1 3D, frame2 flushed 2D)
     assert rgb.size == 3 * frame_px, rgb.size
     assert rgb.max() > 10000
+
+    # --comb-batch must write the same stream (batched PAL driver)
+    rc = ldexport_tpu.main([str(tbc), str(tmp_path / 'movb'),
+                            '--pal', '-d', '3', '--comb-batch', '2'])
+    assert rc == 0
+    rgb_b = np.fromfile(tmp_path / 'movb.rgb', '<u2')
+    assert rgb_b.size == rgb.size
+    assert np.abs(rgb_b.astype(np.int64) - rgb.astype(np.int64)).max() <= 1
