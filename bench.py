@@ -29,15 +29,70 @@ import numpy as np
 
 
 def cached_capture(cfg, nframes, spec, tag):
-    """Disk-cached synthetic capture (host encode runs ~3 s/frame)."""
+    """Disk-cached synthetic capture (host encode runs ~3 s/frame).
+    The write is atomic (tmp + rename) so the parallel pre-encode
+    workers below can never expose a half-written capture."""
     from ld_decode_tpu.models import encode as E
     cache = os.path.expanduser(f'~/.cache/ldd_tpu_bench_{tag}.npy')
     if os.path.exists(cache):
         return np.load(cache)
     samples = E.encode_frames(cfg, nframes, spec)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
-    np.save(cache, samples)
+    tmp = f'{cache}.tmp.{os.getpid()}.npy'
+    np.save(tmp, samples)
+    os.replace(tmp, cache)
     return samples
+
+
+# the three bench captures (encode ~3 s/frame, single-threaded numpy)
+_CAPTURES = {
+    'clean': ('NTSC', 132, dict(pattern='ramp', cav_start_frame=900),
+              'ntsc40_ramp_132_v1'),
+    'noisy': ('NTSC', 104, dict(pattern='ramp', cav_start_frame=900,
+                                noise_rms=0.02),
+              'ntsc40_ramp_noisy02_104_v1'),
+    'pal': ('PAL', 96, dict(pattern='palbars', cav_start_frame=900),
+            'pal40_bars_96_v1'),
+}
+
+
+def _encode_worker(key):
+    """Subprocess target: pure numpy/scipy encode, never touches jax or
+    the TPU tunnel."""
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    system, nframes, kw, tag = _CAPTURES[key]
+    cached_capture(DecoderConfig(system=system, freq_mhz=40.0),
+                   nframes, E.EncodeSpec(**kw), tag)
+
+
+def start_pre_encodes():
+    """On a cold cache, the three captures cost ~17 min of host encode;
+    run the noisy/PAL ones in subprocesses while the TPU stages use the
+    clean capture.  Returns {key: Process} to join before each stage."""
+    import multiprocessing as mp
+    ctx = mp.get_context('spawn')
+    jobs = {}
+    for key in ('noisy', 'pal'):
+        _, _, _, tag = _CAPTURES[key]
+        if not os.path.exists(
+                os.path.expanduser(f'~/.cache/ldd_tpu_bench_{tag}.npy')):
+            p = ctx.Process(target=_encode_worker, args=(key,))
+            p.start()
+            jobs[key] = p
+            print(f'# pre-encoding {key} capture in background',
+                  file=sys.stderr)
+    return jobs
+
+
+def capture_for(key, jobs):
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.models import encode as E
+    if key in jobs:
+        jobs[key].join()
+    system, nframes, kw, tag = _CAPTURES[key]
+    return cached_capture(DecoderConfig(system=system, freq_mhz=40.0),
+                          nframes, E.EncodeSpec(**kw), tag)
 
 
 def warmup_framer(fr, start):
@@ -85,10 +140,9 @@ def sustained_rate(fr, sample, reps, npasses, samples_per_frame, tag,
     return sorted(rates)[len(rates) // 2]
 
 
-def bench_ntsc(extra):
+def bench_ntsc(extra, jobs):
     import jax
     from ld_decode_tpu.utils.params import DecoderConfig
-    from ld_decode_tpu.models import encode as E
     from ld_decode_tpu.ops import filters as F
     from ld_decode_tpu.tbc import framer as FR
 
@@ -96,12 +150,10 @@ def bench_ntsc(extra):
     spf = cfg.freq_hz / cfg.sys.fps
     bank = F.make_demod_bank(cfg, dtype=np.complex64)
 
-    # ---- headline: clean ramp, 3 x 35 wrap-free frames, median ----
+    # ---- headline: clean ramp, 3 x 32 wrap-free frames, median ----
     # (the axon tunnel's transfer rate swings several-fold between runs;
     # the median de-noises that without hiding a real regression)
-    samples = cached_capture(
-        cfg, 132, E.EncodeSpec(pattern='ramp', cav_start_frame=900),
-        'ntsc40_ramp_132_v1')
+    samples = capture_for('clean', jobs)
     # 52-block windows (~797k samples) still cover the next field's vsync
     # (the reference reads 1M for the same purpose) with 21% less demod;
     # batch=16 measured ~+20% over batch=8 (same-window probe: medians
@@ -122,10 +174,7 @@ def bench_ntsc(extra):
 
     # ---- realistic-noise variant: ~1.35 IRE picture noise ----
     try:
-        noisy = cached_capture(
-            cfg, 104, E.EncodeSpec(pattern='ramp', cav_start_frame=900,
-                                  noise_rms=0.02),
-            'ntsc40_ramp_noisy02_104_v1')
+        noisy = capture_for('noisy', jobs)
         fr.prefetcher.flush()
         fr_n = FR.Framer(cfg, bank, capture=noisy, batch=16, nblocks=52)
         s = warmup_framer(fr_n, 33046)
@@ -204,18 +253,15 @@ def bench_ntsc(extra):
     return headline
 
 
-def bench_pal(extra):
+def bench_pal(extra, jobs):
     from ld_decode_tpu.utils.params import DecoderConfig
-    from ld_decode_tpu.models import encode as E
     from ld_decode_tpu.ops import filters as F
     from ld_decode_tpu.tbc import framer as FR
 
     cfg = DecoderConfig(system='PAL', freq_mhz=40.0)
     spf = cfg.freq_hz / cfg.sys.fps
     bank = F.make_demod_bank(cfg, dtype=np.complex64)
-    samples = cached_capture(
-        cfg, 96, E.EncodeSpec(pattern='palbars', cav_start_frame=900),
-        'pal40_bars_96_v1')
+    samples = capture_for('pal', jobs)
     # the 800k-sample PAL field needs the larger overlap-save window;
     # batch=16 measured ~11% over batch=8 (dispatch amortization; the
     # deeper speculation needs the 96-frame capture to stay EOF-free)
@@ -232,10 +278,11 @@ def bench_pal(extra):
 def main():
     import jax
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
+    jobs = start_pre_encodes()
     extra = {}
-    headline = bench_ntsc(extra)
+    headline = bench_ntsc(extra, jobs)
     try:
-        bench_pal(extra)
+        bench_pal(extra, jobs)
     except Exception as e:                         # noqa: BLE001
         print(f'# pal stage failed: {e!r}', file=sys.stderr)
 
