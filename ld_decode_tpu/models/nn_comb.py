@@ -150,14 +150,98 @@ def synth_batch(key, batch: int, h: int, w: int):
 
 
 # ---------------------------------------------------------------------------
+# real-capture training data (the reference comb-ntsc -t training mode,
+# comb-ntsc.cxx:1057-1061: force dim 3 + write per-frame images for the
+# attic nntrain.py pipeline).  Here the 3D comb's own chroma separation
+# of a real .tbc capture becomes the supervision target directly: the
+# NN's chroma-plane convention clp = 2*(I*ci - Q*cq) (carriers with the
+# per-line flip folded in) is reconstructed from the comb's decoded
+# (i, q) planes.
+
+def training_pairs_from_frames(frames_u16: np.ndarray,
+                               cfg: CN.CombConfig = None):
+    """(N, 525, 910) u16 .tbc frames -> (inputs (N-2, H, W, 3), clp
+    targets (N-2, H, W)) supervised by the no-flow 3D comb (interior
+    frames only: the 3D stencil needs both temporal neighbors)."""
+    if cfg is None:
+        cfg = CN.CombConfig(dim=3, opticalflow=False)
+    frames = np.asarray(frames_u16).reshape(-1, CN.IN_Y, CN.IN_X)
+    if frames.shape[0] < 3:
+        raise ValueError('need >= 3 frames for 3D-comb supervision')
+    inputs, targets = [], []
+    for e in range(1, frames.shape[0] - 1):
+        inp, clp = _training_pair(frames[e], frames[e - 1], frames[e + 1],
+                                  cfg)
+        inputs.append(np.asarray(inp))
+        targets.append(np.asarray(clp))
+    return np.stack(inputs), np.stack(targets)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _training_pair(raw_u16, prev_u16, next_u16, cfg: CN.CombConfig):
+    raw = raw_u16.astype(jnp.float32)
+    invert_col = raw_u16[:, 0] == 16384
+    if cfg.phase_invert:
+        invert_col = ~invert_col
+    flip = jnp.where(invert_col, 1.0, -1.0)
+
+    clp0 = CN.split1d(raw)
+    clp2, combk2 = CN.split3d(raw, prev_u16.astype(jnp.float32),
+                              next_u16.astype(jnp.float32), cfg)
+    clp1, combk1, combk0 = CN.split2d(clp0, combk2, cfg.adaptive2d)
+    mask36 = CN._row_mask(36, CN.IN_Y) & CN._col_mask(4, 840)
+    k1row = CN._row_mask(2, 524)
+    combk1 = jnp.where(mask36 & k1row, 1.0 - combk2, combk1)
+    combk0 = jnp.where(mask36, 1.0 - combk2 - combk1, combk0)
+    y, i, q = CN.split_iq(raw, (clp2, clp1, clp0),
+                          (combk2, combk1, combk0), invert_col, cfg)
+    ci, cq = _carriers(raw.shape[0], raw.shape[1], flip)
+    clp_t = 2.0 * (i * ci - q * cq)
+    return model_inputs(raw_u16, flip), clp_t
+
+
+def write_training_file(frames_u16: np.ndarray, path: str,
+                        cfg: CN.CombConfig = None) -> int:
+    """Write a .npz of (inputs, clp) training pairs from real .tbc
+    frames; returns the number of pairs written."""
+    inputs, clp = training_pairs_from_frames(frames_u16, cfg)
+    np.savez_compressed(path, inputs=inputs.astype(np.float32),
+                        clp=clp.astype(np.float32))
+    return inputs.shape[0]
+
+
+def _file_batch(key, data, batch: int, h: int, w: int):
+    """Random (h, w) crops from a loaded training file."""
+    inputs, clp = data
+    n, H, W = clp.shape
+    kf, ky, kx = jax.random.split(key, 3)
+    fi = jax.random.randint(kf, (batch,), 0, n)
+    yi = jax.random.randint(ky, (batch,), 0, H - h)
+    xi = jax.random.randint(kx, (batch,), 0, W - w)
+
+    def crop(f, y0, x0):
+        i3 = jax.lax.dynamic_slice(inputs[f], (y0, x0, 0), (h, w, 3))
+        c = jax.lax.dynamic_slice(clp[f], (y0, x0), (h, w))
+        return i3, c
+
+    return jax.vmap(crop)(fi, yi, xi)
+
+
+# ---------------------------------------------------------------------------
 # training
 
 def train_nn_comb(key=None, steps: int = 250, batch: int = 8,
                   h: int = 64, w: int = 256, lr: float = 3e-3,
-                  features: Tuple[int, ...] = (24, 24), mesh=None):
-    """Train the chroma separator on synthetic scenes; returns (params,
-    final_loss).  With `mesh`, the train step runs data-parallel over its
-    'dp' axis (gradients psum via NamedSharding constraints)."""
+                  features: Tuple[int, ...] = (24, 24), mesh=None,
+                  data=None):
+    """Train the chroma separator; returns (params, final_loss).
+
+    By default trains self-supervised on synthetic scenes; pass
+    `data=(inputs, clp)` (float32 arrays, e.g. from a
+    write_training_file .npz) to train on real-capture pairs instead —
+    the reference's -t training path (comb-ntsc.cxx:1057-1061).  With
+    `mesh`, the train step runs data-parallel over its 'dp' axis
+    (gradients psum via NamedSharding constraints)."""
     import optax
     if nn is None:                                     # pragma: no cover
         raise RuntimeError('flax is unavailable')
@@ -172,8 +256,15 @@ def train_nn_comb(key=None, steps: int = 250, batch: int = 8,
         pred = model.apply(p, inp)
         return jnp.mean((pred - clp_t) ** 2) / (IRESCALE ** 2)
 
+    if data is not None:
+        data = (jnp.asarray(data[0], jnp.float32),
+                jnp.asarray(data[1], jnp.float32))
+
     def step_fn(p, o, k):
-        inp, clp_t, *_ = synth_batch(k, batch, h, w)
+        if data is not None:
+            inp, clp_t = _file_batch(k, data, batch, h, w)
+        else:
+            inp, clp_t, *_ = synth_batch(k, batch, h, w)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P('dp'))

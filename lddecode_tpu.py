@@ -59,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument('-m', '--bff', action='store_true',
                    help='magnetic video mode: pair frames bottom-field '
                         'first (VHS-style)')
+    p.add_argument('-A', '--audio-only', action='store_true',
+                   help='output only audio (no .tbc file; the reference '
+                        'app/tbc -s flag — the decode still runs the full '
+                        'TBC because the 48 kHz chase resampler needs the '
+                        'line clock)')
     p.add_argument('-q', '--quiet', action='store_true',
                    help='warnings and errors only')
     p.add_argument('-d', '--debug', action='store_true',
@@ -131,7 +136,9 @@ def main(argv=None):
         outfile.close()
         return 0
 
-    out_video = open(args.outfile + '.tbc', 'wb')
+    # --audio-only: the reference app/tbc -s mode writes no video file
+    # (app/tbc/main.cpp:157-158, tbcpal.cpp:402)
+    out_video = None if args.audio_only else open(args.outfile + '.tbc', 'wb')
     out_audio = open(args.outfile + '.pcm', 'wb')
 
     frozen = None
@@ -139,7 +146,8 @@ def main(argv=None):
         if frozen is not None:
             # -z freeze-frame (reference app/tbc/main.cpp:160-162): the
             # first decoded frame repeats for the requested length
-            out_video.write(frozen.tobytes())
+            if out_video is not None:
+                out_video.write(frozen.tobytes())
             continue
         # EOF is signalled by the framer itself (fd.tell() is useless
         # here: the segmented framer reads a whole segment ahead)
@@ -152,13 +160,15 @@ def main(argv=None):
         log.info(f'frame {framer.vbi.get("framenr")}')
         if log.get_level() <= log.DEBUG:
             log.progress(nextsample * bytes_per_sample, infile_size)
-        out_video.write(combined.tobytes())
+        if out_video is not None:
+            out_video.write(combined.tobytes())
         if audio is not None:
             out_audio.write(audio.tobytes())
         if args.freeze:
             frozen = combined
 
-    out_video.close()
+    if out_video is not None:
+        out_video.close()
     out_audio.close()
     return 0
 

@@ -68,6 +68,13 @@ def parse_args(argv=None):
     p.add_argument('--write-images', action='store_true',
                    help='write each frame as <out>_<n>.rgb instead of '
                         'one stream (comb -f image mode)')
+    p.add_argument('-t', '--training', action='store_true',
+                   help='NN-comb training mode (reference comb -t, '
+                        'comb-ntsc.cxx:1057-1061): forces -d 3 + '
+                        'per-frame image output, and additionally writes '
+                        '<out>.train.npz of (inputs, chroma-plane target) '
+                        'pairs from the real capture for '
+                        'models/nn_comb.py train_nn_comb(data=...)')
     p.add_argument('--comb-batch', type=int, default=1,
                    help='NTSC: comb N frames per device call '
                         '(comb/batch.py; amortizes dispatch+transfer '
@@ -88,6 +95,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     from ld_decode_tpu.audio.cx import CXExpander
+
+    if args.training:
+        # reference -t: training mode forces dim 3 + image output
+        # (comb-ntsc.cxx:1057-1061)
+        args.dim = 3
+        args.write_images = True
 
     if args.pal:
         from ld_decode_tpu.comb.comb_pal import PALComb, CombPALConfig, \
@@ -189,6 +202,9 @@ def main(argv=None):
         pulldown = PulldownAssembler()
 
     nframes = 0
+    # -t: collect raw .tbc frames for the training-pair writer (bounded:
+    # 128 frames ≈ 122 MB; more adds nothing for the small NN)
+    train_frames = [] if args.training and not args.pal else None
 
     def write_one(frame_rgb):
         nonlocal nframes
@@ -229,8 +245,11 @@ def main(argv=None):
                 raw = f.read(frame_bytes * args.comb_batch)
                 n = len(raw) // frame_bytes
                 if n:
-                    handle = comb.feed(np.frombuffer(
-                        raw[:n * frame_bytes], np.uint16).reshape(n, -1))
+                    win = np.frombuffer(
+                        raw[:n * frame_bytes], np.uint16).reshape(n, -1)
+                    if train_frames is not None and len(train_frames) < 128:
+                        train_frames.extend(win[:128 - len(train_frames)])
+                    handle = comb.feed(win)
                 if pending is not None:
                     for rgb, w in zip(*comb.collect(pending)):
                         emit(rgb, w)
@@ -249,6 +268,8 @@ def main(argv=None):
                 if len(buf) < frame_bytes:
                     break
                 frame = np.frombuffer(buf, np.uint16)
+                if train_frames is not None and len(train_frames) < 128:
+                    train_frames.append(frame)
                 rgb = comb.process(frame)
                 if rgb is None:          # 3D warmup
                     continue
@@ -271,6 +292,12 @@ def main(argv=None):
     out_f.close()
     if sink:
         sink.wait()
+    if train_frames is not None and len(train_frames) >= 3:
+        from ld_decode_tpu.models.nn_comb import write_training_file
+        npairs = write_training_file(np.stack(train_frames),
+                                     args.out + '.train.npz')
+        print(f'wrote {npairs} training pairs to {args.out}.train.npz',
+              file=sys.stderr)
     print(f'wrote {nframes} frames', file=sys.stderr)
     return 0
 

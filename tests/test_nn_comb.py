@@ -120,3 +120,47 @@ def test_comb_frame_nn_rgb(trained):
     d = np.abs(rgb - exp)[:, 100:800] / 655.36
     assert np.median(d) < 4.0, np.median(d)
     assert np.percentile(d, 95) < 16.0, np.percentile(d, 95)
+
+
+def test_training_writer_and_file_training(tmp_path):
+    """The -t training path (reference comb-ntsc.cxx:1057-1061): real
+    .tbc frames -> (inputs, clp-target) pairs supervised by the 3D comb,
+    then train_nn_comb(data=...) consumes the file."""
+    H, W = CN.IN_Y, CN.IN_X
+    _, clp_t, y_t, i_t, q_t = NC.synth_batch(jax.random.PRNGKey(2), 1, H, W)
+    y_t, i_t, q_t = (np.asarray(a[0]) for a in (y_t, i_t, q_t))
+    flip0 = np.asarray(clp_t[0, :, 0]) * 0  # placeholder, set below
+
+    # static scene, chroma phase alternating frame-to-frame like real
+    # NTSC .tbc output (the condition Split3D separates exactly)
+    rng = np.random.default_rng(3)
+    flip0 = np.where(rng.integers(0, 2, H).astype(bool), 1.0, -1.0)
+    frames = []
+    flips = []
+    for k in range(4):
+        fl = flip0 * (1 if k % 2 == 0 else -1)
+        ci, cq = (np.asarray(c) for c in NC._carriers(H, W, jnp.asarray(fl)))
+        raw = y_t - (i_t * ci - q_t * cq)
+        raw[:, 0] = np.where(fl > 0, 16384.0, 32768.0)
+        frames.append(np.clip(raw, 0, 65535).astype(np.uint16))
+        flips.append(fl)
+    frames = np.stack(frames)
+
+    out = tmp_path / 't.npz'
+    n = NC.write_training_file(frames, str(out))
+    assert n == 2
+    d = np.load(out)
+    assert d['inputs'].shape == (2, H, W, 3)
+    assert d['clp'].shape == (2, H, W)
+
+    # the written target approximates the true chroma plane of frame 1
+    ci1, cq1 = (np.asarray(c) for c in
+                NC._carriers(H, W, jnp.asarray(flips[1])))
+    want = 2.0 * (i_t * ci1 - q_t * cq1)
+    c = (slice(60, 480), slice(60, 780))
+    err = np.abs(d['clp'][0] - want)[c]
+    assert err.mean() < 0.25 * np.abs(want)[c].mean(), err.mean()
+
+    params, loss = NC.train_nn_comb(steps=20, batch=4, h=48, w=160,
+                                    data=(d['inputs'], d['clp']))
+    assert np.isfinite(loss)

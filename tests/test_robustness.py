@@ -192,6 +192,24 @@ def test_cli_freeze_frame(cfg, tmp_path):
     assert np.array_equal(frames[0], frames[2])
 
 
+def test_cli_audio_only(cfg, tmp_path):
+    """-A/--audio-only (reference app/tbc -s, main.cpp:157-158,
+    tbcpal.cpp:402): the decode runs but no video file is written."""
+    samples = E.encode_frames(cfg, 3, E.EncodeSpec(pattern='flat50',
+                                                   cav_start_frame=900))
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(samples).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import lddecode_tpu
+    rc = lddecode_tpu.main([str(lds), str(tmp_path / 'out'),
+                            '-l', '1', '-A'])
+    assert rc == 0
+    assert not os.path.exists(tmp_path / 'out.tbc')
+    pcm = np.fromfile(tmp_path / 'out.pcm', '<i2')
+    assert len(pcm) > 3000
+
+
 def test_cxadc_rate_field_decode():
     """End-to-end field decode at the cxADC 28.8 MSa/s capture rate
     (reference lddecode.py:55 '.r30'/8-bit path, tbc.cpp:166-169)."""
@@ -337,3 +355,29 @@ def test_cli_cut_mode(cfg, tmp_path):
     assert len(tbc) == 910 * 525
     framenr = (int(tbc[14]) << 16) | int(tbc[15])
     assert 901 <= framenr <= 904, framenr
+
+
+def test_cli_ldexport_training_mode(tmp_path):
+    """ldexport -t (reference comb -t): forces dim 3 + per-frame images
+    and writes the <out>.train.npz training pairs."""
+    from ld_decode_tpu.comb import comb_ntsc as CN
+    from ld_decode_tpu.models import nn_comb as NC
+    import jax
+
+    H, W = CN.IN_Y, CN.IN_X
+    inp, *_ = NC.synth_batch(jax.random.PRNGKey(4), 4, H, W)
+    frames = np.clip((np.asarray(inp[..., 0]) + 1.0) * 32768.0,
+                     0, 65535).astype(np.uint16)
+    flips = np.asarray(inp[:, :, 0, 1]) > 0
+    frames[..., 0] = np.where(flips, 16384, 32768)
+    tbc = tmp_path / 'cap.tbc'
+    tbc.write_bytes(frames.tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import ldexport_tpu
+    rc = ldexport_tpu.main([str(tbc), str(tmp_path / 'mov'), '-t', '-F'])
+    assert rc == 0
+    d = np.load(tmp_path / 'mov.train.npz')
+    assert d['inputs'].shape == (2, H, W, 3)
+    # training mode writes per-frame images (reference f_writeimages)
+    assert (tmp_path / 'mov_0.rgb').exists()
