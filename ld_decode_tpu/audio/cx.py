@@ -10,9 +10,14 @@ Per-sample chain on 48 kHz stereo:
     m14db = -14 dB, factor 6500 (cx-expander.cxx:62-75)
   * 40 Hz DC-block, x0.4 headroom (cx-expander.cxx:77-84)
 
-The LTI filters are vectorized (scipy on host for file-level processing; the
-envelope followers are the one true nonlinear recurrence in the system —
-run as a lax.scan on device or a numpy loop on host for parity).
+The LTI filters are vectorized (scipy on host for file-level processing;
+the envelope followers are the one true nonlinear recurrence in the
+system).  Short inputs (a frame of audio) run a host loop — a device
+dispatch costs ~30-400 ms through the axon tunnel; file-level inputs run
+the BLOCK-PARALLEL device evaluation (`envelope_followers_blocked`):
+O(warm+core) sequential depth instead of O(n), exact via a monotone
+two-sided bound certificate, with the O(n) `lax.scan` kept as the
+fallback for the (pathological) uncertified case.
 """
 
 from __future__ import annotations
@@ -46,7 +51,9 @@ def envelope_followers(maxenv: np.ndarray, fast0: float = 0.0,
     Short inputs (a frame's worth of audio, ~1600 samples) run as a host
     loop: a device dispatch costs ~30-400 ms through the axon tunnel,
     which made per-frame CX the silent bottleneck of the full decode
-    chain.  Long inputs (file-level processing) keep the lax.scan."""
+    chain.  Long inputs (file-level processing) run the block-parallel
+    device path, falling back to the O(n) scan only when its exactness
+    certificate fails (see envelope_followers_blocked below)."""
     if len(maxenv) < 32768:
         fast, slow = float(fast0), float(slow0)
         out_f = np.empty(len(maxenv))
@@ -62,18 +69,105 @@ def envelope_followers(maxenv: np.ndarray, fast0: float = 0.0,
             out_s[i] = slow
         return out_f, out_s
 
-    def step(carry, m):
-        fast, slow = carry
-        fast = fast * .9998
-        fast = jnp.where(m > fast, jnp.minimum(m, fast + m * .040), fast)
-        slow = slow * .999985
-        slow = jnp.where(m > slow, jnp.minimum(m, slow + m * .0020), slow)
-        return (fast, slow), (fast, slow)
+    fast, slow, ok = envelope_followers_blocked(maxenv, fast0, slow0)
+    if not ok:
+        return _envelope_scan(maxenv, fast0, slow0)
+    return fast, slow
 
+
+def _env_step(carry, m):
+    fast, slow = carry
+    fast = fast * .9998
+    fast = jnp.where(m > fast, jnp.minimum(m, fast + m * .040), fast)
+    slow = slow * .999985
+    slow = jnp.where(m > slow, jnp.minimum(m, slow + m * .0020), slow)
+    return (fast, slow), (fast, slow)
+
+
+def _envelope_scan(maxenv: np.ndarray, fast0: float, slow0: float):
+    """O(n)-depth sequential device scan (the exact reference recurrence,
+    cx-expander.cxx:53-60); the fallback when the blocked certificate
+    fails."""
     (_, _), (fast, slow) = jax.lax.scan(
-        step, (jnp.float32(fast0), jnp.float32(slow0)),
+        _env_step, (jnp.float32(fast0), jnp.float32(slow0)),
         jnp.asarray(maxenv, jnp.float32))
     return np.asarray(fast), np.asarray(slow)
+
+
+# ---------------------------------------------------------------------------
+# block-parallel envelopes: O(warm+core) depth instead of O(n)
+#
+# The followers are monotone in their state: running a block from a state
+# BELOW the true entry state lower-bounds every subsequent value, from a
+# state above upper-bounds it.  Each block therefore scans from both
+# bounds (lo = 0, up = the global envelope ceiling) across a `warm`
+# sample overlap; wherever the two runs agree on the gain-relevant
+# quantity val = relu(max(fast, slow) − FACTOR·M14DB), the true value is
+# pinned between them and the block result is exact to that tolerance —
+# no matter what the real carry was.  Decay contracts the bounds at
+# 0.9998/0.999985 per sample and any attack clamp (state pulled to the
+# input) collapses them instantly, so real programme material converges
+# in far fewer than `warm` samples; a genuinely unconverged block (an
+# envelope decaying at exactly the slow-follower rate for seconds) is
+# detected and the caller falls back to the sequential scan.
+
+CX_BLOCK_CORE = 131072            # emitted samples per block (2.7 s)
+CX_BLOCK_WARM = 262144            # overlap: 65536·0.999985^262144 < pivot
+_ENV_CEIL = 65536.0               # >= any |500 Hz HPF| of int16 audio
+
+
+@functools.partial(jax.jit, static_argnames=('core', 'warm', 'nb'))
+def _blocked_envelopes(menv, fast0, slow0, core: int, warm: int, nb: int):
+    n = menv.shape[0]
+    padded = jnp.pad(menv.astype(jnp.float32), (warm, nb * core - n))
+
+    def block(k):
+        win = jax.lax.dynamic_slice(padded, (k * core,), (warm + core,))
+        gpos = k * core + jnp.arange(warm + core) - warm
+        valid = gpos >= 0             # head padding of block 0: no-op steps
+        first = k == 0
+        lo0 = (jnp.where(first, fast0, 0.0), jnp.where(first, slow0, 0.0))
+        up0 = (jnp.where(first, fast0, _ENV_CEIL),
+               jnp.where(first, slow0, _ENV_CEIL))
+
+        def step(carry, x):
+            m, v = x
+            (flo, slo), (fup, sup) = carry
+            nlo, _ = _env_step((flo, slo), m)
+            nup, _ = _env_step((fup, sup), m)
+            pick = lambda new, old: jnp.where(v, new, old)
+            lo = (pick(nlo[0], flo), pick(nlo[1], slo))
+            up = (pick(nup[0], fup), pick(nup[1], sup))
+            return (lo, up), (lo[0], lo[1], up[0], up[1])
+
+        carry, _ = jax.lax.scan(step, (lo0, up0),
+                                (win[:warm], valid[:warm]), unroll=8)
+        _, out = jax.lax.scan(step, carry, (win[warm:], valid[warm:]),
+                              unroll=8)
+        return out
+
+    flo, slo, fup, sup = jax.vmap(block)(jnp.arange(nb))
+    flo, slo, fup, sup = (a.reshape(-1)[:n] for a in (flo, slo, fup, sup))
+    pivot = jnp.float32(FACTOR * M14DB)
+    dval = (jnp.maximum(jnp.maximum(fup, sup) - pivot, 0.0)
+            - jnp.maximum(jnp.maximum(flo, slo) - pivot, 0.0))
+    return flo, slo, jnp.max(dval)
+
+
+def envelope_followers_blocked(maxenv: np.ndarray, fast0: float = 0.0,
+                               slow0: float = 0.0, core: int = CX_BLOCK_CORE,
+                               warm: int = CX_BLOCK_WARM,
+                               tol: float = 0.05):
+    """Block-parallel envelope followers.  Returns (fast, slow,
+    converged); converged=False means the bound certificate exceeded
+    `tol` on the gain input somewhere and the caller must use
+    `_envelope_scan` instead."""
+    menv = jnp.asarray(maxenv, jnp.float32)
+    n = int(menv.shape[0])
+    nb = -(-n // core)
+    fast, slow, dval = _blocked_envelopes(
+        menv, jnp.float32(fast0), jnp.float32(slow0), core, warm, nb)
+    return np.asarray(fast), np.asarray(slow), bool(dval <= tol)
 
 
 class CXExpander:

@@ -122,6 +122,77 @@ def _to_rgb8(rgb):
     return (rgb >> 8).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=('cap',))
+def _rgb_encode(rgb, cap: int):
+    """Adaptive-plane codec for the RGB48 output stream (the same
+    machinery as the picture codec, fused.encode_image_planes): planar
+    layout, vertical lag-1 + horizontal delta per channel.  RGB48 is
+    2 MB/frame raw — the dominant D2H stream of the full chain on
+    tunneled hosts; typical comb output compresses to ~0.3-0.5x and the
+    host fetches only the used prefix."""
+    from ld_decode_tpu.tbc import fused as FU
+    E, rows0, W, _ = rgb.shape
+    img = jnp.moveaxis(rgb, 3, 1).reshape(E, 3 * rows0, W).astype(jnp.int32)
+    Wp = -(-W // 4) * 4
+    if Wp != W:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, Wp - W)), mode='edge')
+    planes, wcls = jax.vmap(lambda im: FU.encode_image_planes(im, 1))(img)
+    dense, rows = FU.compact_planes(planes, wcls, cap)
+    return dense, rows, wcls
+
+
+class _RgbCodecMixin:
+    """Shared encode-dispatch / prefix-fetch / decode for the batched
+    comb drivers' RGB48 output."""
+
+    def _codec_exec(self):
+        if getattr(self, '_codec_ex', None) is None:
+            self._codec_ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4)
+        return self._codec_ex
+
+    def _codec_dispatch(self, rgb):
+        E, rows0, W, _ = rgb.shape
+        cap = E * 4 * 3 * rows0
+        dense, rows, wcls = _rgb_encode(rgb, cap)
+        fut_rows = self._ex.submit(np.asarray, rows)
+        fut_wcls = self._ex.submit(np.asarray, wcls)
+        fut_dense = self._ex.submit(self._codec_fetch_dense, dense,
+                                    fut_rows, W)
+        self.stats['windows'] += 1
+        return ('codec', fut_rows, fut_wcls, fut_dense, (E, rows0, W))
+
+    def _codec_fetch_dense(self, dense, fut_rows, W):
+        C4 = (-(-W // 4) * 4) // 4
+        rows = fut_rows.result()
+        n = int(rows.sum()) * C4
+        if n == 0:
+            return np.zeros(0, np.uint16)
+        flat = dense[:n]
+        k = max(1, min(32, n // (128 * 1024)))
+        step = -(-n // k)
+        return np.concatenate(list(self._codec_exec().map(
+            lambda i: np.asarray(flat[i * step:(i + 1) * step]), range(k))))
+
+    def _codec_decode(self, handle):
+        from ld_decode_tpu.tbc import fused as FU
+        _, fut_rows, fut_wcls, fut_dense, (E, rows0, W) = handle
+        rows = fut_rows.result().astype(np.int64)
+        wcls = fut_wcls.result()
+        dense = fut_dense.result()
+        Wp = -(-W // 4) * 4
+        C4 = Wp // 4
+        offs = np.concatenate([[0], np.cumsum(rows)])
+        out = []
+        for e in range(E):
+            img = FU.decode_image_planes(
+                wcls[e], dense[offs[e] * C4:offs[e + 1] * C4],
+                (3 * rows0, Wp), 1)
+            out.append(np.ascontiguousarray(
+                np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2)))
+        return out
+
+
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def _comb_window_simple(win, ab0, cfg: CombConfig):
     """dims 1/2: every frame emits; only the AGC chains."""
@@ -153,16 +224,17 @@ def _pal_frame_2d(frame, cfg):
     return comb_pal_frame(frame, cfg)[0]
 
 
-class PALCombBatch:
+class PALCombBatch(_RgbCodecMixin):
     """Batched drop-in for PALComb with the NTSCCombBatch feed/collect
     protocol.  Emission order matches the streaming driver exactly:
     frame 0 comes back 2D, frame k-1 3D when frame k arrives, flush()
     returns the final pending frame 2D."""
 
     def __init__(self, cfg: CombPALConfig = CombPALConfig(),
-                 fetch_streams=8, out8: bool = False):
+                 fetch_streams=8, out8: bool = False, codec: bool = True):
         self.cfg = cfg
         self.out8 = out8
+        self.codec = codec
         self._pend = None           # (k, Y, X) device, k <= 2 (dim 3)
         self._first = True
         self._ex = concurrent.futures.ThreadPoolExecutor(
@@ -199,6 +271,8 @@ class PALCombBatch:
             self.stats['t_feed'] += _time.perf_counter() - t0
 
     def _fetch(self, rgb):
+        if self.codec and not self.out8:
+            return self._codec_dispatch(rgb)
         if self.out8:
             rgb = _to_rgb8(rgb)
         flat = rgb.reshape(-1)
@@ -208,7 +282,7 @@ class PALCombBatch:
         futs = [self._ex.submit(np.asarray, flat[i * step:(i + 1) * step])
                 for i in range(k)]
         self.stats['windows'] += 1
-        return futs, rgb.shape
+        return ('raw', futs, rgb.shape)
 
     def collect(self, handle):
         """(rgb_list, words_list) — words are None (PAL has no pulldown
@@ -217,10 +291,14 @@ class PALCombBatch:
             return [], []
         import time as _time
         t0 = _time.perf_counter()
-        futs, shape = handle
-        rgb = np.concatenate([f.result() for f in futs]).reshape(shape)
+        if handle[0] == 'codec':
+            out = self._codec_decode(handle)
+        else:
+            _, futs, shape = handle
+            out = list(np.concatenate([f.result() for f in futs]
+                                      ).reshape(shape))
         self.stats['t_collect'] += _time.perf_counter() - t0
-        return list(rgb), [None] * shape[0]
+        return out, [None] * len(out)
 
     def process_many(self, frames: np.ndarray):
         return self.collect(self.feed(frames))[0]
@@ -235,20 +313,22 @@ class PALCombBatch:
         return rgb
 
 
-class NTSCCombBatch:
+class NTSCCombBatch(_RgbCodecMixin):
     """Batched drop-in for NTSCComb: `feed(frames)` dispatches a window,
     `collect(handle)` returns (rgb_list, words_list); `process_many` is
     the blocking combination.  Debug surfaces (-D/-k/-l) stay on the
     streaming driver."""
 
     def __init__(self, cfg: CombConfig = CombConfig(), fetch_streams=8,
-                 out8: bool = False):
+                 out8: bool = False, codec: bool = True):
         if cfg.debug2d or cfg.showk or cfg.debugline > -9999:
             raise ValueError('debug surfaces need the streaming NTSCComb')
         self.cfg = cfg
-        # comb -8 on device: top byte only, halving the D2H bytes (the
-        # binding constraint of the full chain on tunneled hosts)
+        # comb -8 on device: top byte only, halving the D2H bytes;
+        # codec=True (RGB48 only): the adaptive-plane codec instead,
+        # losslessly — typically a ~2-3x smaller stream than -8
         self.out8 = out8
+        self.codec = codec
         self._pend: Optional[jnp.ndarray] = None   # (k, Y, X) device
         self._flow = jnp.zeros((2, _CYSIZE, _CXSIZE, 2), jnp.float32)
         self.aburstlev = jnp.float32(-1.0)
@@ -300,6 +380,8 @@ class NTSCCombBatch:
         return self._eager_fetch(rgb, words)
 
     def _eager_fetch(self, rgb, words):
+        if self.codec and not self.out8:
+            return self._codec_dispatch(rgb), words
         if self.out8:
             rgb = _to_rgb8(rgb)
         # the tunnel D2H link wants many small concurrent streams
@@ -311,18 +393,23 @@ class NTSCCombBatch:
         futs = [self._ex.submit(np.asarray, flat[i * step:(i + 1) * step])
                 for i in range(k)]
         self.stats['windows'] += 1
-        return futs, words, rgb.shape
+        return ('raw', futs, rgb.shape), words
 
     def collect(self, handle) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         if handle is None:
             return [], []
         import time as _time
         t0 = _time.perf_counter()
-        futs, words, shape = handle
+        payload, words = handle
         w = np.asarray(words)
-        rgb = np.concatenate([f.result() for f in futs]).reshape(shape)
+        if payload[0] == 'codec':
+            out = self._codec_decode(payload)
+        else:
+            _, futs, shape = payload
+            out = list(np.concatenate([f.result() for f in futs]
+                                      ).reshape(shape))
         self.stats['t_collect'] += _time.perf_counter() - t0
-        return list(rgb), [w[e] for e in range(shape[0])]
+        return out, [w[e] for e in range(len(out))]
 
     def process_many(self, frames: np.ndarray) -> List[np.ndarray]:
         rgbs, _ = self.collect(self.feed(frames))

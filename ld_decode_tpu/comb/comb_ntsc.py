@@ -401,6 +401,15 @@ def do_cnr(i, q, cfg: CombConfig, min_val: float = -1.0):
     return out[0], out[1]
 
 
+def agc_ema_step(carry, b):
+    """One line of the burst-AGC EMA (comb-ntsc.cxx:563-564): lines with
+    burst > 3 IRE update the EMA (seed on first valid line)."""
+    upd = b > 3
+    c0 = jnp.where((carry < 0) & upd, b, carry)
+    c1 = jnp.where(upd, c0 * .99 + b * .01, c0)
+    return c1, c1
+
+
 def to_rgb(y, i, q, raw, aburstlev, cfg: CombConfig):
     """YIQ -> RGB48 with burst-AGC EMA (comb-ntsc.cxx:555-598).
 
@@ -410,13 +419,8 @@ def to_rgb(y, i, q, raw, aburstlev, cfg: CombConfig):
     first = cfg.firstline
     burstlev = raw[:, 1] / IRESCALE                  # per line
 
-    def ema(carry, b):
-        upd = b > 3
-        c0 = jnp.where((carry < 0) & upd, b, carry)
-        c1 = jnp.where(upd, c0 * .99 + b * .01, c0)
-        return c1, c1
-
-    aburstlev, levels = jax.lax.scan(ema, aburstlev, burstlev[first:])
+    aburstlev, levels = jax.lax.scan(agc_ema_step, aburstlev,
+                                     burstlev[first:])
     gain = 10.0 / levels                              # (rows,)
 
     nrows = min(cfg.linesout, IN_Y - first)

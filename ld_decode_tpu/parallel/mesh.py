@@ -176,16 +176,19 @@ def build_pipeline_batch_sharded(cfg: DecoderConfig, bank: DemodBank,
         offs_used = jax.lax.dynamic_slice(offs_all, (di * lb,), (lb,))
         next_start0 = starts_all[-1] + nfo_all[-1]
 
-        bundle, pic = FU.pipeline_finish(
+        bundle, pic, dense, rows = FU.pipeline_finish(
             video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
             starts, offs_used, bank, cfg, n_audio1, colorlevel,
             colorphase, pallas)
-        return bundle, next_start0, next_offset0, pic
+        # each shard compacts its own fields' nibble planes; the global
+        # dense buffer is the per-shard buffers concatenated (the host
+        # prefix-fetches per shard region using the row counts)
+        return bundle, next_start0, next_offset0, pic, dense, rows
 
     fn = _shard_map(
         shard_fn, fmesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P('f'), P(), P(), P('f')))
+        out_specs=(P('f'), P(), P(), P('f'), P('f'), P('f')))
     return jax.jit(fn), fmesh
 
 
@@ -200,11 +203,15 @@ def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
 
     The halo is circular, so the globally-first/last frames see wrapped
     neighbors (they are warmup frames in the reference too).  The burst
-    AGC seeds per frame (aburstlev=-1) instead of carrying the reference's
-    cross-frame EMA — a documented deviation that keeps frames
-    embarrassingly parallel; the EMA adapts within one frame anyway.
+    AGC EMA (reference comb-ntsc.cxx:563-564) carries across frames
+    EXACTLY: per-frame burst-level rows are tiny (505 f32/frame), so each
+    shard all_gathers them and replays the whole cross-frame EMA chain
+    locally — same pattern as the audio-offset carry in the flagship
+    pipeline — then combs its frames from the correct per-frame entry
+    state.  Sharded output is bit-identical to a streaming decode.
     """
-    from ld_decode_tpu.comb.comb_ntsc import comb_frame
+    from ld_decode_tpu.comb.comb_ntsc import (
+        comb_frame, agc_ema_step, IRESCALE)
 
     n_dp = mesh.shape['dp'] * mesh.shape['sp']
     assert nframes % n_dp == 0
@@ -212,10 +219,13 @@ def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
     # flatten the mesh to one frame axis for this stage
     devs = np.asarray(mesh.devices).reshape(-1)
     fmesh = Mesh(devs, ('f',))
+    first = comb_cfg.firstline
 
     def local_step(frames):
         # frames: (F_l, 525, 910) local consecutive frames
+        F_l = frames.shape[0]
         nf = jax.lax.psum(1, 'f')
+        di = jax.lax.axis_index('f')
         fwd = [(i, (i + 1) % nf) for i in range(nf)]
         bwd = [(i, (i - 1) % nf) for i in range(nf)]
         # previous shard's last frame / next shard's first frame
@@ -224,12 +234,21 @@ def build_sharded_comb3d(comb_cfg, mesh: Mesh, nframes: int):
         prevs = jnp.concatenate([prev_halo[None], frames[:-1]], axis=0)
         nexts = jnp.concatenate([frames[1:], next_halo[None]], axis=0)
 
-        def one(cur, prv, nxt):
+        # exact cross-frame AGC: gather everyone's burst rows, replay
+        bl_local = frames[:, first:, 1].astype(jnp.float32) / IRESCALE
+        bl_all = jax.lax.all_gather(bl_local, 'f', tiled=True)
+
+        def frame_ema(carry, bvec):
+            nxt_c, _ = jax.lax.scan(agc_ema_step, carry, bvec)
+            return nxt_c, carry            # emit the ENTRY state
+        _, entries = jax.lax.scan(frame_ema, jnp.float32(-1.0), bl_all)
+        ent_local = jax.lax.dynamic_slice(entries, (di * F_l,), (F_l,))
+
+        def one(cur, prv, nxt, ab):
             # Split3D(f=1): p3line = newer frame, n3line = older frame
-            rgb, _lev, _extras = comb_frame(cur, nxt, prv,
-                                            jnp.float32(-1.0), comb_cfg)
+            rgb, _lev, _extras = comb_frame(cur, nxt, prv, ab, comb_cfg)
             return rgb
-        return jax.vmap(one)(frames, prevs, nexts)
+        return jax.vmap(one)(frames, prevs, nexts, ent_local)
 
     fn = _shard_map(local_step, fmesh,
                     in_specs=(P('f'),), out_specs=P('f'))

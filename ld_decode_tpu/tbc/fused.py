@@ -108,111 +108,136 @@ def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# lossless picture codec
+# lossless picture codec: per-line adaptive nibble planes
 #
-# The axon tunnel's D2H link saturates near ~40 MB/s and the u16 picture is
-# ~93% of every field bundle, so raw transfer caps end-to-end decode around
-# 25-30 MSa/s regardless of TPU speed.  The batched pipeline therefore ships
-# the picture losslessly compressed:
+# The axon tunnel's D2H link saturates near ~40 MB/s (collapsing to
+# ~1 MB/s in bad weather) and the u16 picture is ~93% of every field
+# bundle, so raw transfer caps end-to-end decode regardless of TPU
+# speed.  The batched pipeline therefore ships the picture losslessly
+# compressed, with a per-line adaptive rate so clean content pays for
+# clean content (round 2 shipped a fixed dense 12-bit plane = 0.848x
+# raw even when residuals fit in 4 bits):
 #
-#   transform  vertical delta against line l-k, then horizontal lag-1 delta
-#              of that residual.  k=2 for NTSC (2 lines = 455 subcarrier
-#              cycles exactly, so chroma/burst phase matches;
-#              lddecode_core.py:56 linelen 910 = 227.5 cycles x 4) and k=4
-#              for PAL (4 lines = 1135 cycles exactly, same V-switch).  The
-#              horizontal pass flattens the sub-sample line-jitter residual
-#              at high-slope columns (sync edge, burst).  Head lines (l<k)
-#              carry their raw values through the same horizontal pass.
-#   residuals  mod-2^16, zigzag-mapped; the low 12 bits ship dense (4
-#              samples -> 3 u16 words), the top 4 bits ship as a sparse
-#              (index, nibble) list with a fixed ~3.5%-of-field capacity
-#   fallback   if the sparse plane overflows (n_hi > cap: heavy noise/rot),
-#              the host refetches that field's raw picture, which the batch
-#              keeps resident on device — the codec is lossless for ALL
-#              content, only its bandwidth win is content-dependent.
+#   transform  vertical delta against line l-k, then horizontal lag-1
+#              delta of that residual.  k=2 for NTSC (2 lines = 455
+#              subcarrier cycles exactly, so chroma/burst phase matches;
+#              lddecode_core.py:56 linelen 910 = 227.5 cycles x 4) and
+#              k=4 for PAL (4 lines = 1135 cycles exactly, same
+#              V-switch).  The horizontal pass flattens the sub-sample
+#              line-jitter residual at high-slope columns (sync edge,
+#              burst).  Head lines (l<k) carry raw values through the
+#              same horizontal pass.
+#   residuals  mod-2^16, zigzag-mapped to 16-bit z; each LINE ships only
+#              the nibble planes its own max residual needs (width class
+#              wcls in 0..4 nibbles).  Plane words pack 4 samples/u16.
+#   compaction the used (field, plane, line) rows of a whole batch are
+#              gathered into ONE contiguous dense buffer (row gather —
+#              rows are 128-lane-friendly 228/284-word vectors), and the
+#              host fetches only the USED PREFIX: the transfer size is
+#              the true information content, per batch, no recompile.
+#              Capacity is the full 4 planes, so the codec is lossless
+#              with zero fallbacks for ALL content; only bandwidth is
+#              content-dependent (clean ~0.27x raw, 1-2 IRE noise
+#              ~0.75x, white noise 1.0x).
 #
-# Net: ~0.85x the raw picture bytes (0.848 NTSC / 0.841 PAL at the fixed
-# 3.5% sparse capacity) — the dense 12-bit plane dominates; it cannot go
-# narrower because real capture noise after two deltas (sigma_d ~ 2x the
-# sample noise, ~0.5-2 IRE = 180-730 counts) must stay inside the dense
-# range or the sparse plane explodes.
+# The raw picture additionally stays device-resident per batch
+# (`pic`), as a defensive fallback if a field's dense region were ever
+# unavailable.
 
 def pic_codec_params(cfg: DecoderConfig):
-    """(lines, width, padded width, sparse capacity, predictor lag)."""
+    """(lines, width, padded width, words per row, predictor lag)."""
     W = cfg.sys.outlinelen
     Wp = -(-W // 4) * 4
     L = max_linecount(cfg)
-    cap = -(-(L * Wp * 35 // 1000) // 2048) * 2048
     k = 2 if cfg.system == 'NTSC' else 4
-    return L, W, Wp, cap, k
+    return L, W, Wp, Wp // 4, k
 
 
-def _pack12(v: jnp.ndarray) -> jnp.ndarray:
-    """(n,) 12-bit values -> (n//4*3,) u16 words."""
-    g = v.reshape(-1, 4)
-    w0 = g[:, 0] | ((g[:, 1] & 0xF) << 12)
-    w1 = (g[:, 1] >> 4) | ((g[:, 2] & 0xFF) << 8)
-    w2 = (g[:, 2] >> 8) | (g[:, 3] << 4)
-    return jnp.stack([w0, w1, w2], axis=1).astype(jnp.uint16).reshape(-1)
+def codec_cap_rows(cfg: DecoderConfig, batch: int) -> int:
+    """Dense-buffer capacity in rows: the full 4 nibble planes of every
+    field — lossless with no overflow path; the host fetches only the
+    used prefix, so capacity costs no bandwidth."""
+    return 4 * max_linecount(cfg) * batch
 
 
-def _unpack12(words: np.ndarray) -> np.ndarray:
-    """Invert _pack12 (host)."""
-    g = words.astype(np.int64).reshape(-1, 3)
-    v = np.empty((g.shape[0], 4), np.int64)
-    v[:, 0] = g[:, 0] & 0xFFF
-    v[:, 1] = (g[:, 0] >> 12) | ((g[:, 1] & 0xFF) << 4)
-    v[:, 2] = (g[:, 1] >> 8) | ((g[:, 2] & 0xF) << 8)
-    v[:, 3] = g[:, 2] >> 4
-    return v.reshape(-1)
-
-
-def encode_picture_dev(pic: jnp.ndarray, cfg: DecoderConfig):
-    """(L*W,) u16 picture -> (low12_words u16, hi_idx i32, hi_nib_words u16,
-    n_hi i32).  Exactly inverted by `decode_picture_host` when
-    n_hi <= cap; larger n_hi means the sparse plane overflowed."""
-    L, W, Wp, cap, k = pic_codec_params(cfg)
-    x = pic.reshape(L, W).astype(jnp.int32)
-    x = jnp.pad(x, ((0, 0), (0, Wp - W)), mode='edge')
+def encode_image_planes(x: jnp.ndarray, k: int):
+    """Adaptive-plane encode of any (R, C) u16/int image (C % 4 == 0):
+    vertical lag-k delta, horizontal lag-1 delta, zigzag, per-row nibble
+    planes.  Returns ((4, R, C//4) u16 plane words, (R,) i32 width
+    classes).  Also used for the comb's RGB48 output (k=1, planar)."""
+    R, C = x.shape
+    x = x.astype(jnp.int32)
     r = jnp.concatenate([x[:k], x[k:] - x[:-k]], axis=0)
-    d = jnp.concatenate([r[:, :1], r[:, 1:] - r[:, :-1]], axis=1).reshape(-1)
+    d = jnp.concatenate([r[:, :1], r[:, 1:] - r[:, :-1]], axis=1)
     ds = ((d + 0x8000) & 0xFFFF) - 0x8000          # residual mod 2^16, signed
     z = ((ds << 1) ^ (ds >> 15)) & 0xFFFF          # zigzag
-    low_words = _pack12(z & 0xFFF)
-    hi = z >> 12
-    mask = hi > 0
-    pos = jnp.cumsum(mask) - 1
-    n_hi = (pos[-1] + 1).astype(jnp.int32)
-    slot = jnp.where(mask & (pos < cap), pos, cap)  # overflow -> dump slot
-    idx_buf = jnp.zeros(cap + 4, jnp.int32).at[slot].set(
-        jnp.arange(z.shape[0], dtype=jnp.int32), mode='drop')
-    nib = jnp.zeros(cap + 4, jnp.int32).at[slot].set(hi, mode='drop')
-    g = nib.reshape(-1, 4)
-    nib_words = (g[:, 0] | (g[:, 1] << 4) | (g[:, 2] << 8) | (g[:, 3] << 12)
-                 ).astype(jnp.uint16)
-    return low_words, idx_buf, nib_words, n_hi
+    mx = jnp.max(z, axis=1)
+    wcls = ((mx > 0).astype(jnp.int32) + (mx >= 16).astype(jnp.int32)
+            + (mx >= 256).astype(jnp.int32) + (mx >= 4096).astype(jnp.int32))
+    zg = z.reshape(R, C // 4, 4)
+    planes = []
+    for p in range(4):
+        nib = (zg >> (4 * p)) & 0xF
+        planes.append((nib[..., 0] | (nib[..., 1] << 4) | (nib[..., 2] << 8)
+                       | (nib[..., 3] << 12)).astype(jnp.uint16))
+    return jnp.stack(planes), wcls
 
 
-def decode_picture_host(data: Dict[str, np.ndarray], cfg: DecoderConfig
-                        ) -> Optional[np.ndarray]:
-    """Invert encode_picture_dev from an unpacked bundle; None on sparse
-    overflow (caller refetches the raw picture)."""
-    L, W, Wp, cap, k = pic_codec_params(cfg)
-    n_hi = int(data['pic_hi_n'][0])
-    if n_hi > cap:
-        return None
-    z = _unpack12(data['pic_low'])
-    if n_hi:
-        nw = data['pic_hi_val'].astype(np.int64)
-        nibs = np.stack([nw & 0xF, (nw >> 4) & 0xF, (nw >> 8) & 0xF,
-                         nw >> 12], axis=1).reshape(-1)
-        z[data['pic_hi_idx'][:n_hi]] |= nibs[:n_hi] << 12
-    d = ((z >> 1) ^ -(z & 1)).reshape(L, Wp)       # un-zigzag
+def decode_image_planes(wcls: np.ndarray, dense_words: np.ndarray,
+                        shape, k: int) -> np.ndarray:
+    """Invert encode_image_planes for one image from its contiguous
+    dense region (host)."""
+    R, C = shape
+    C4 = C // 4
+    z = np.zeros((R, C), np.int64)
+    dw = np.asarray(dense_words).astype(np.int64)
+    pos = 0
+    for p in range(4):
+        lines = np.nonzero(wcls > p)[0]
+        cnt = len(lines)
+        if not cnt:
+            continue
+        w = dw[pos * C4:(pos + cnt) * C4].reshape(cnt, C4)
+        pos += cnt
+        nib = np.stack([w & 0xF, (w >> 4) & 0xF, (w >> 8) & 0xF, w >> 12],
+                       axis=2).reshape(cnt, C)
+        z[lines] |= nib << (4 * p)
+    d = ((z >> 1) ^ -(z & 1))                      # un-zigzag
     r = np.cumsum(d, axis=1)                        # undo horizontal lag-1
     x = np.empty_like(r)
     for c in range(k):                              # vertical chains
         x[c::k] = np.cumsum(r[c::k], axis=0)
-    return (x[:, :W] & 0xFFFF).astype(np.uint16).reshape(-1)
+    return (x & 0xFFFF).astype(np.uint16)
+
+
+def encode_picture_planes(pic: jnp.ndarray, cfg: DecoderConfig):
+    """(L*W,) u16 picture -> ((4, L, W4) u16 nibble-plane words,
+    (L,) i32 per-line width classes)."""
+    L, W, Wp, W4, k = pic_codec_params(cfg)
+    x = pic.reshape(L, W)
+    x = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, Wp - W)), mode='edge')
+    return encode_image_planes(x, k)
+
+
+def compact_planes(planes: jnp.ndarray, wcls: jnp.ndarray, cap: int):
+    """planes (B, 4, L, W4) u16 + wcls (B, L) -> (dense (cap*W4,) u16,
+    rows (B,) i32).  Used rows land contiguously in (field, plane, line)
+    order; rows[b] = sum(wcls[b]) is field b's row count."""
+    B, _, L, W4 = planes.shape
+    mask = wcls[:, None, :] > jnp.arange(4)[None, :, None]
+    rows = jnp.sum(wcls, axis=1).astype(jnp.int32)
+    src = planes.reshape(B * 4 * L, W4)
+    idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
+    return jnp.take(src, idx, axis=0).reshape(-1), rows
+
+
+def decode_picture_planes(wcls: np.ndarray, dense_words: np.ndarray,
+                          cfg: DecoderConfig) -> np.ndarray:
+    """Invert encode_picture_planes+compaction for ONE field: wcls (L,)
+    and that field's contiguous dense region (rows*W4 u16 words)."""
+    L, W, Wp, W4, k = pic_codec_params(cfg)
+    x = decode_image_planes(wcls, dense_words, (L, Wp), k)
+    return x[:, :W].reshape(-1)
 
 
 class BundleSpec:
@@ -713,17 +738,17 @@ def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
 
 def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     """Like finish_bundle_spec but with the Philips codes sliced
-    on-device (nibbles instead of raw line windows), plus per-field meta
+    on-device (nibbles instead of raw line windows) and the picture
+    shipped separately (per-line adaptive codec: only the width-class
+    table rides the bundle; the dense nibble planes go out as one
+    batch-level prefix-fetched buffer), plus per-field meta
     (valid/istop/lc/nfo/npeaks/nvsyncs/readsample int32 words, then the
     audio offset this field consumed)."""
-    L, W, Wp, cap, k = pic_codec_params(cfg)
+    L, W, Wp, W4, k = pic_codec_params(cfg)
     nlines = max_nlines(cfg)
     ncl = len(cfg.sys.philips_codelines)
     return BundleSpec([
-        ('pic_low', (L * Wp // 4 * 3,), np.uint16),
-        ('pic_hi_idx', (cap + 4,), np.int32),
-        ('pic_hi_val', ((cap + 4) // 4,), np.uint16),
-        ('pic_hi_n', (1,), np.int32),
+        ('pic_wcls', (L,), np.uint16),
         ('audio', (audio_maxt(cfg) * 2,), np.int16),
         ('linelocs_i', (nlines,), np.int32),
         ('linelocs_f', (nlines,), np.float32),
@@ -815,8 +840,11 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
                     pallas: bool):
     """Refinement + outputs + picture codec + per-field meta for a batch
     (same stages as field_finish_batch).  Returns per-field bundle rows
-    (batch, words) and the raw device-resident picture (codec fallback).
-    Per-field like `pipeline_analyze`, so it shards over the batch."""
+    (batch, words), the raw device-resident picture (defensive
+    fallback), and the compacted dense nibble planes + per-field row
+    counts (the adaptive picture codec's prefix-fetched payload).
+    Per-field like `pipeline_analyze`, so it shards over the batch
+    (each shard compacts its own fields)."""
     refine = lambda v, i_, f_, b_, l_: _finish_refine(
         v, i_, f_, b_, l_, cfg, colorphase)
     lli, llf, burstlevel = jax.vmap(refine)(video, lld.lli, lld.llf,
@@ -839,17 +867,18 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                                 offs_used, burstlevel)
 
-    enc = jax.vmap(lambda p: pack_bundle(
-        [x.reshape(1) if x.ndim == 0 else x
-         for x in encode_picture_dev(p, cfg)]))(pic)
+    planes, wcls = jax.vmap(lambda p: encode_picture_planes(p, cfg))(pic)
+    dense, rows = compact_planes(planes, wcls,
+                                 codec_cap_rows(cfg, starts.shape[0]))
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
                         lc, nfo, nv, vs_count, starts], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
-    bundle = jnp.concatenate([enc, rest.reshape(starts.shape[0], -1), meta],
+    bundle = jnp.concatenate([wcls.astype(jnp.uint16),
+                              rest.reshape(starts.shape[0], -1), meta],
                              axis=1)
-    return bundle, pic
+    return bundle, pic, dense, rows
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
@@ -886,16 +915,19 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
     offs_used, next_offset0 = _audio_offset_chain(audio_offset0, lc, cfg)
     next_start0 = starts[-1] + nfo[-1]
 
-    bundle, pic = pipeline_finish(
+    bundle, pic, dense, rows = pipeline_finish(
         video, audio1, lld, lc, valid, istop, nfo, nv, vs_count, starts,
         offs_used, bank, cfg, n_audio1, colorlevel, colorphase, pallas)
-    # Split into per-field-pair chunks: the tunnel's D2H link is the
-    # throughput wall (~40 MB/s single-stream, ~15% more with 2-4
-    # concurrent streams) and the prefetcher pulls each chunk on its own
-    # thread as soon as the batch is dispatched.  The raw picture stays
-    # device-resident (`pic`) for the codec's sparse-overflow fallback.
-    nchunks = max(1, min(4, batch // 2))
+    # The bundle (linelocs/audio/meta/width classes) ships in a couple
+    # of eagerly-fetched chunks; the picture ships as the compacted
+    # dense nibble-plane buffer, of which the prefetcher fetches only
+    # the used prefix (rows tells it how much) in ~256 KB concurrent
+    # streams — the tunnel D2H link is the throughput wall and the
+    # transfer is now sized by information content, not by worst case.
+    # The raw picture stays device-resident (`pic`) as a defensive
+    # fallback.
+    nchunks = max(1, min(2, batch // 4))
     per = -(-batch // nchunks)
     chunks = tuple(bundle[i * per:(i + 1) * per].reshape(-1)
                    for i in range(nchunks))
-    return chunks, next_start0, next_offset0, pic
+    return chunks, next_start0, next_offset0, pic, dense, rows

@@ -85,6 +85,7 @@ class FieldPrefetcher:
         # in-flight dispatched batches: [chunk_fetch_futures, next_start0_dev,
         # next_offset0_dev, mtf]
         self._flight: deque = deque()
+        self._rows_ema = None          # EMA of used dense rows per batch
         self._executor = None
         import jax
         self._pallas = jax.default_backend() == 'tpu'
@@ -105,9 +106,10 @@ class FieldPrefetcher:
         # transfers cannot be stopped, but queued ones must not hold the
         # D2H link or executor workers hostage ahead of the new chain
         for fl in self._flight:
-            for fut in fl[0]:
+            for fut in fl[0] + [fl[5], fl[6]] + fl[7]:
                 fut.cancel()
         self._flight.clear()
+        self._rows_ema = None
 
     def set_capture(self, capture_dev, base: int, valid_len: int = None):
         """Swap in a new resident segment (absolute file offset `base`).
@@ -143,7 +145,7 @@ class FieldPrefetcher:
         cfg = dec.cfg
         n_audio1 = dec.nblocks * dec.bank.a_stage1_keep \
             if dec.bank.has_audio else 0
-        chunks, nso, noo, raw_pic = FU.field_pipeline_batch(
+        chunks, nso, noo, raw_pic, dense, rows = FU.field_pipeline_batch(
             self.capture, start0, offset0, jnp.float32(mtf_level),
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
@@ -152,13 +154,75 @@ class FieldPrefetcher:
         # eager-fetch every chunk now: each np.asarray blocks its worker
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
-        # host consumes it — the D2H link stays saturated.  raw_pic stays
-        # on device; it is only fetched if a field's codec plane overflows.
+        # host consumes it — the D2H link stays saturated.  The picture's
+        # dense nibble planes are prefix-fetched: a tiny row-count vector
+        # comes over first, then only the used words (clean content
+        # ships ~0.27x the raw picture bytes).  raw_pic stays on device
+        # as a defensive fallback.
         ex = self._exec()
         futs = [ex.submit(np.asarray, c) for c in chunks]
-        self._flight.append([futs, nso, noo, mtf_level, raw_pic])
+        fut_rows = ex.submit(np.asarray, rows)
+        # speculative prefix: slice+fetch an EMA-sized prefix NOW, so the
+        # device slice lands right behind this batch's compute and the
+        # transfer needs no host round trip for the row counts (those
+        # only gate the rare top-up when the estimate undershoots)
+        spec = None
+        if self._rows_ema is not None:
+            L, W, Wp, W4, k = FU.pic_codec_params(self.decoder.cfg)
+            cap = FU.codec_cap_rows(self.decoder.cfg, self.batch)
+            n_est = min(cap, int(self._rows_ema * 1.25)) * W4
+            spec = (n_est, self._chunk_fetch(dense, n_est))
+        fut_dense = ex.submit(self._fetch_dense, dense, fut_rows, spec)
+        self._flight.append([futs, nso, noo, mtf_level, raw_pic,
+                             fut_rows, fut_dense,
+                             spec[1] if spec else []])
         self.stats['batches'] += 1
         self.stats['t_dispatch'] += _time.perf_counter() - t0
+
+    def _chunk_fetch(self, dense, n, off=0):
+        """Submit concurrent ~256 KB-chunk fetches of dense[off:off+n];
+        returns the future list (one big D2H collapses pathologically on
+        the tunnel)."""
+        if n <= 0:
+            return []
+        flat = dense[off:off + n]
+        nchunk = max(1, min(32, n // (128 * 1024)))
+        step = -(-n // nchunk)
+        ex = self._dense_exec()
+        return [ex.submit(lambda i=i: np.asarray(
+            flat[i * step:(i + 1) * step])) for i in range(nchunk)]
+
+    def _fetch_dense(self, dense, fut_rows, spec):
+        """Assemble the used prefix of the dense plane buffer.  Runs on
+        an executor worker; blocks on the row counts (a few bytes,
+        available the moment the batch finishes), reuses the speculative
+        prefix fetch and tops up only on underestimate."""
+        L, W, Wp, W4, k = FU.pic_codec_params(self.decoder.cfg)
+        rows = fut_rows.result()
+        total = int(min(rows.sum(), FU.codec_cap_rows(self.decoder.cfg,
+                                                      self.batch)))
+        self._rows_ema = total if self._rows_ema is None else \
+            0.5 * self._rows_ema + 0.5 * total
+        n = total * W4
+        if n == 0:
+            return np.zeros(0, np.uint16)
+        if spec is None:
+            parts = [f.result() for f in self._chunk_fetch(dense, n)]
+            return np.concatenate(parts)
+        n_est, futs = spec
+        parts = [f.result() for f in futs]
+        if n_est < n:
+            parts += [f.result()
+                      for f in self._chunk_fetch(dense, n - n_est, n_est)]
+        return np.concatenate(parts)[:n] if parts else \
+            np.zeros(0, np.uint16)
+
+    def _dense_exec(self):
+        if getattr(self, '_dense_ex', None) is None:
+            import concurrent.futures
+            self._dense_ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4)
+        return self._dense_ex
 
     def _schedule(self, mtf_level: float):
         if not self.pipelined:
@@ -172,14 +236,19 @@ class FieldPrefetcher:
         import time as _time
         dec = self.decoder
         cfg = dec.cfg
-        futs, _nso, _noo, mtf, raw_pic = self._flight.popleft()
+        (futs, _nso, _noo, mtf, raw_pic, fut_rows, fut_dense,
+         _spec) = self._flight.popleft()
         t0 = _time.perf_counter()
         buf = np.concatenate([f.result() for f in futs]
                              ).reshape(self.batch, -1)
+        rows = fut_rows.result().astype(np.int64)
+        dense = fut_dense.result()
+        offs = np.concatenate([[0], np.cumsum(rows)])
         t1 = _time.perf_counter()
 
         spec = FU.pipeline_bundle_spec(cfg)
         nlines = FU.max_nlines(cfg)
+        _, _, _, W4, _ = FU.pic_codec_params(cfg)
         W = cfg.sys.outlinelen
         out: List[_Entry] = []
         prev_rs = -1
@@ -207,10 +276,14 @@ class FieldPrefetcher:
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
                 readsample=rs_abs)
-            pic = FU.decode_picture_host(data, cfg)
-            if pic is None:
-                # sparse plane overflowed (heavy noise/rot): pull this
-                # field's raw picture from the batch's device-resident copy
+            wcls = data['pic_wcls'].astype(np.int64)
+            if offs[b + 1] * W4 <= dense.shape[0] \
+                    and int(wcls.sum()) == rows[b]:
+                pic = FU.decode_picture_planes(
+                    wcls, dense[offs[b] * W4:offs[b + 1] * W4], cfg)
+            else:
+                # defensive only (capacity covers all 4 planes, so this
+                # cannot trigger from content): pull the raw picture
                 self.stats['pic_raw_fallback'] += 1
                 pic = np.asarray(raw_pic[b])
             r.dspicture = pic[:lc * W]

@@ -91,7 +91,62 @@ def main():
         assert int(np.asarray(shard.data)[0, 0]) == (j - 1) % n_sp, \
             (j, np.asarray(shard.data))
 
+    if os.environ.get('MH_SCALE') == '1':
+        _scale_probe(pid, nproc)
+
     print(f'MH_WORKER_OK pid={pid}', flush=True)
+
+
+def _scale_probe(pid, nproc):
+    """Cross-process scaling evidence: the SAME 8-field batch through the
+    dp-sharded flagship pipeline spanning both processes (Gloo/TCP — the
+    DCN analog) vs a single local device.  t_sharded/t_single isolates
+    what the cross-process collectives and carry replay cost on top of
+    partitioning (cores are shared, so absolute fields/s is not the
+    point — the overhead ratio trend is)."""
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.ops import filters as F, demod as D
+    from ld_decode_tpu.parallel import mesh as M
+    from ld_decode_tpu.tbc import fused as FU
+
+    fcfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    fbank = F.make_demod_bank(fcfg, dtype=np.complex64)
+    fnblocks = 8
+    n_audio1 = fnblocks * fbank.a_stage1_keep
+    batch = 4 * nproc
+    pitch = fcfg.linelen * (fcfg.sys.frame_lines // 2)
+    cap_len = pitch * batch + D.stream_len(fcfg, fnblocks) + 4096
+    rng = np.random.default_rng(0)
+    capture = jnp.asarray(rng.integers(20000, 45000, cap_len)
+                          .astype(np.uint16))
+    args = (capture, jnp.int32(fcfg.blockcut), jnp.float32(0.0),
+            jnp.float32(1.0), jnp.int32(cap_len))
+
+    def timeit(fn):
+        jax.block_until_ready(fn(*args)[0])
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    pstep, _ = M.build_pipeline_batch_sharded(
+        fcfg, fbank, M.make_mesh(4 * nproc, dp=4 * nproc), fnblocks,
+        n_audio1, batch, pitch)
+    tn = timeit(pstep)
+
+    single = lambda c, s, o, m, v: FU.field_pipeline_batch(
+        c, s, o, m, fbank, fcfg, fnblocks, n_audio1, batch, pitch,
+        pallas=False, valid_len=v)
+    t1 = timeit(single)
+    print(f'MH_SCALE pid={pid} batch={batch} single={batch / t1:.2f} '
+          f'fields/s cross-process-sharded={batch / tn:.2f} fields/s '
+          f'overhead={tn / t1:.3f}', flush=True)
 
 
 if __name__ == '__main__':

@@ -59,3 +59,91 @@ def test_cx_streaming_matches_oneshot():
     parts = [st.process(pcm[i:i + 2048]) for i in range(0, len(pcm), 2048)]
     two = np.concatenate(parts)
     np.testing.assert_array_equal(one, two)
+
+
+def _long_signal(n=700_000, seed=7):
+    """~14.6 s of programme-like audio: tone bursts, level steps,
+    silences — plenty of attack renewals for the blocked certificate."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 48000.0
+    env = np.zeros(n)
+    pos = 0
+    while pos < n:
+        seg = int(rng.integers(12000, 60000))
+        lvl = float(rng.choice([0.0, 0.05, 0.2, 0.5, 0.9]))
+        env[pos:pos + seg] = lvl
+        pos += seg
+    left = 24000.0 * env * np.sin(2 * np.pi * 997 * t)
+    right = 18000.0 * env * np.sin(2 * np.pi * 1501 * t)
+    pcm = np.empty(n * 2, np.uint16)
+    pcm[0::2] = np.clip(left + 32768, 0, 65535).astype(np.uint16)
+    pcm[1::2] = np.clip(right + 32768, 0, 65535).astype(np.uint16)
+    return pcm
+
+
+def test_blocked_envelopes_match_scan():
+    """The O(warm+core)-depth blocked evaluation equals the O(n)
+    sequential scan on file-level audio (the verdict's block-parallel CX
+    ask): certificate converges and the envelope outputs agree."""
+    from ld_decode_tpu.audio.cx import (
+        envelope_followers_blocked, _envelope_scan, F500)
+    import scipy.signal as sps
+
+    pcm = _long_signal()
+    left = pcm[0::2].astype(np.float64) - 32768.0
+    right = pcm[1::2].astype(np.float64) - 32768.0
+    zi = sps.lfilter_zi(*F500) * 0.0
+    fl, _ = sps.lfilter(*F500, left, zi=zi)
+    frr, _ = sps.lfilter(*F500, right, zi=zi.copy())
+    menv = np.maximum(np.abs(fl), np.abs(frr))
+
+    # production geometry (the warm window is sized so even an
+    # all-silence warmup drags the ceiling bound below the gain pivot)
+    fast_b, slow_b, ok = envelope_followers_blocked(menv)
+    assert ok
+    fast_s, slow_s = _envelope_scan(menv, 0.0, 0.0)
+    # agreement wherever the envelopes matter for the gain (above the
+    # -14 dB pivot); below it the lo-bound may undershoot freely
+    pivot = 6500.0 * 0.199526231496888
+    m = np.maximum(fast_s, slow_s) > pivot * 0.9
+    assert np.abs(np.maximum(fast_b, slow_b)
+                  - np.maximum(fast_s, slow_s))[m].max() < 0.5
+
+
+def test_blocked_full_expander_output_parity():
+    """End-to-end CXExpander (which now uses the blocked path for long
+    inputs) vs the sequential-scan expander: int16 output parity."""
+    from ld_decode_tpu.audio import cx as CX
+
+    pcm = _long_signal(n=400_000, seed=9)
+    out_blocked = CX.CXExpander().process(pcm)
+
+    # forced-sequential twin
+    orig = CX.envelope_followers
+    try:
+        CX.envelope_followers = lambda m, f0=0.0, s0=0.0: \
+            CX._envelope_scan(m, f0, s0)
+        out_seq = CX.CXExpander().process(pcm)
+    finally:
+        CX.envelope_followers = orig
+    d = np.abs(out_blocked.astype(np.int64) - out_seq.astype(np.int64))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
+
+
+def test_blocked_certificate_fallback():
+    """An envelope decaying at exactly the slow-follower rate keeps the
+    true state dependent on seconds-old history: the bound certificate
+    must refuse (converged=False) instead of returning a wrong answer,
+    and envelope_followers must then fall back to the exact scan."""
+    from ld_decode_tpu.audio.cx import (
+        envelope_followers_blocked, envelope_followers, _envelope_scan)
+    n = 400_000
+    menv = 20000.0 * np.exp(-1.5e-5 * np.arange(n))
+    fast_b, slow_b, ok = envelope_followers_blocked(
+        menv, fast0=20000.0, slow0=20000.0)
+    assert not ok
+    # the public API transparently falls back to the exact scan
+    f1, s1 = envelope_followers(menv, 20000.0, 20000.0)
+    f2, s2 = _envelope_scan(menv, 20000.0, 20000.0)
+    np.testing.assert_allclose(s1, s2, rtol=0, atol=1e-3)

@@ -28,12 +28,14 @@ def _free_port():
     return port
 
 
-def test_two_process_sharded_demod():
+def _run_workers(scale: bool):
     port = _free_port()
     env = dict(os.environ)
     # keep the workers off the TPU tunnel: pure-CPU JAX, repo on the path
     env['JAX_PLATFORMS'] = 'cpu'
     env['PYTHONPATH'] = os.path.dirname(os.path.dirname(_WORKER))
+    if scale:
+        env['MH_SCALE'] = '1'
     procs = [subprocess.Popen(
         [sys.executable, '-u', _WORKER, str(i), '2', str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -50,3 +52,26 @@ def test_two_process_sharded_demod():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'MH_WORKER_OK pid={i}' in out, out
+    return outs
+
+
+def test_two_process_sharded_demod():
+    _run_workers(scale=False)
+
+
+def test_two_process_pipeline_scaling():
+    """Scaling evidence across the process (DCN-analog) boundary: the
+    dp-sharded flagship pipeline spanning 2 Gloo-joined processes must
+    not serialize — its overhead vs a single local device on the SAME
+    batch stays bounded (the ≥80%-efficiency north star's measurable
+    proxy without real multi-host hardware; BASELINE.md:35)."""
+    outs = _run_workers(scale=True)
+    import re
+    m = re.search(r'MH_SCALE pid=0 .* overhead=([0-9.]+)', outs[0])
+    assert m, outs[0]
+    overhead = float(m.group(1))
+    # cores are shared between the two processes, so sharded wall-clock
+    # can exceed single-process compute by up to ~2x even with zero
+    # communication cost; anything well past that means the collectives
+    # or the carry replay serialized the pipeline
+    assert overhead < 2.5, overhead

@@ -74,17 +74,26 @@ def test_sharded_comb3d_matches_single():
         frames[k, 100:200, 100 + 8 * k:200 + 8 * k] += 4000
     frames = frames.astype(np.uint16)
 
+    # per-frame burst levels that VARY strongly: the reference burst-AGC
+    # EMA (comb-ntsc.cxx:563-564) carries across frames, so a per-frame
+    # reseed would visibly diverge here — the sharded path must replay
+    # the exact chain instead
+    frames[:, :, 1] = np.uint16((6 + 10 * (np.arange(nframes)[:, None]
+                                           % 4)) * 358.4)
+
     step, fmesh = M.build_sharded_comb3d(cfg, M.make_mesh(8), nframes)
     fj = jax.device_put(jnp.asarray(frames),
                         NamedSharding(fmesh, P('f')))
     got = np.asarray(step(fj))
 
-    # reference: sequential per-frame comb with per-frame AGC seed
-    for k in (1, 5, 8, 14):        # interior frames incl. shard boundaries
-        rgb, _, _extras = comb_frame(jnp.asarray(frames[k]),
-                                     jnp.asarray(frames[k + 1]),
-                                     jnp.asarray(frames[k - 1]),
-                                     jnp.float32(-1.0), cfg)
+    # reference: sequential streaming comb carrying the AGC EMA
+    ab = jnp.float32(-1.0)
+    for k in range(nframes):
+        prv = frames[k - 1] if k else frames[-1]
+        nxt = frames[k + 1] if k + 1 < nframes else frames[0]
+        rgb, ab, _extras = comb_frame(jnp.asarray(frames[k]),
+                                      jnp.asarray(nxt), jnp.asarray(prv),
+                                      ab, cfg)
         np.testing.assert_array_equal(got[k], np.asarray(rgb))
 
 
@@ -112,14 +121,15 @@ def test_sharded_pipeline_matches_single():
     mtf = jnp.float32(1.0)
     vlen = jnp.int32(capture.shape[0])
 
-    chunks, nso, noo, pic = FU.field_pipeline_batch(
+    chunks, nso, noo, pic, dense1, rows1 = FU.field_pipeline_batch(
         capture, start0, off0, mtf, bank, cfg, nblocks, n_audio1,
         batch, field_pitch, valid_len=vlen)
     ref = np.concatenate([np.asarray(c) for c in chunks]).reshape(batch, -1)
 
     step, fmesh = M.build_pipeline_batch_sharded(
         cfg, bank, M.make_mesh(8), nblocks, n_audio1, batch, field_pitch)
-    bundle, nso_s, noo_s, pic_s = step(capture, start0, off0, mtf, vlen)
+    bundle, nso_s, noo_s, pic_s, dense_s, rows_s = step(
+        capture, start0, off0, mtf, vlen)
     got = np.asarray(bundle)
 
     assert got.shape == ref.shape
@@ -138,6 +148,26 @@ def test_sharded_pipeline_matches_single():
     np.testing.assert_allclose(float(noo_s), float(noo), rtol=0, atol=0)
     np.testing.assert_array_equal(
         np.asarray(pic_s).reshape(batch, -1), np.asarray(pic))
+
+    # adaptive picture codec: per-shard compaction must decode to the
+    # same pictures as the single-device whole-batch compaction
+    np.testing.assert_array_equal(np.asarray(rows_s), np.asarray(rows1))
+    rows_np = np.asarray(rows1).astype(np.int64)
+    W4 = FU.pic_codec_params(cfg)[3]
+    lb = batch // 8
+    cap_l = FU.codec_cap_rows(cfg, lb)
+    d_s, d_1 = np.asarray(dense_s), np.asarray(dense1)
+    off1 = np.concatenate([[0], np.cumsum(rows_np)])
+    for b in range(batch):
+        sh, li = b // lb, b % lb
+        o_sh = sh * cap_l * W4 + int(rows_np[sh * lb:sh * lb + li].sum()) * W4
+        wcls = spec.unpack(got[b])['pic_wcls']
+        p_sh = FU.decode_picture_planes(
+            wcls, d_s[o_sh:o_sh + rows_np[b] * W4], cfg)
+        p_1 = FU.decode_picture_planes(
+            wcls, d_1[off1[b] * W4:off1[b + 1] * W4], cfg)
+        np.testing.assert_array_equal(p_sh, p_1)
+        np.testing.assert_array_equal(p_sh, np.asarray(pic[b]))
 
 
 def test_nn_comb_train_dp_mesh():

@@ -102,10 +102,12 @@ def test_batched_pal_matches_sequential():
     assert fr_bat.vbi['framenr'] == fr_seq.vbi['framenr'] is not None
 
 
-def test_codec_overflow_falls_back_to_raw():
-    """A field whose delta residuals overflow the picture codec's sparse
-    plane (heavy wideband noise) must ship via the device-resident raw
-    fallback, and the batched pipeline must keep decoding through it."""
+def test_codec_heavy_noise_stays_lossless():
+    """Fields with heavy wideband noise (the case that overflowed the
+    round-2 codec's sparse plane and forced raw-picture refetches) now
+    just ship more nibble planes: the adaptive codec never falls back,
+    and the batched pipeline keeps decoding bit-exact through the
+    burst."""
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     spec = E.EncodeSpec(pattern='ramp', cav_start_frame=900)
     samples = E.encode_frames(cfg, 4, spec).astype(np.float32)
@@ -131,7 +133,8 @@ def test_codec_overflow_falls_back_to_raw():
         outs.append((rv1[0], rv2[0], s1))
         s1, s2 = rv1[2], rv2[2]
     assert len(outs) >= 2
-    assert fr_bat.prefetcher.stats['pic_raw_fallback'] >= 1, \
+    # no overflow path exists any more: capacity is the full 4 planes
+    assert fr_bat.prefetcher.stats['pic_raw_fallback'] == 0, \
         fr_bat.prefetcher.stats
     # heavy noise makes line refinement legitimately window-sensitive
     # (sequential and batched paths analyze different windows), so the
