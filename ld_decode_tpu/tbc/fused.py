@@ -360,23 +360,45 @@ def _hsync_refine(video, lli, llf, linebad, lc, cfg: DecoderConfig):
         step, (jnp.int32(0), jnp.float32(0.), jnp.int32(0), jnp.float32(0.)),
         (bi, bf, bad, idx))
 
-    # head/tail gap sanitizers, unrolled (static 10 iterations each)
+    # head/tail gap sanitizers: short sequential walks over scalar
+    # carries (10/11 steps).  The former unrolled .at[i].set formulation
+    # rebuilt the whole line table 20 times per field and cost ~15 ms of
+    # an 88 ms 16-field batch; the scans emit the same values bit-exactly
+    # and write each region back once.
     lo = cfg.linelen - (cfg.freq_mhz * .2)
     hi = cfg.linelen + (cfg.freq_mhz * .2)
-    for i in range(9, -1, -1):
-        gap = split_sub(ll2i[i + 1], ll2f[i + 1], ll2i[i], ll2f[i])
+
+    def head_step(carry, x):
+        ci, cf = carry                          # sanitized ll2[i + 1]
+        oi, of = x                              # original ll2[i]
+        gap = split_sub(ci, cf, oi, of)
         gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
-        ll2i = ll2i.at[i].set(ll2i[i + 1])
-        ll2f = ll2f.at[i].set(ll2f[i + 1] - gap)
+        return (ci, cf - gap), (ci, cf - gap)
+
+    _, (hio, hfo) = jax.lax.scan(head_step, (ll2i[10], ll2f[10]),
+                                 (ll2i[9::-1], ll2f[9::-1]))
+    ll2i = ll2i.at[:10].set(hio[::-1])
+    ll2f = ll2f.at[:10].set(hfo[::-1])
+
     # tail sanitizer over the last 10 TRUE lines (true nlines = lc + 4,
     # reference lddecode_core.py:780-785); arrays may be padded by one.
     nlines_true = lc + 4
-    for k in range(n - 11, n):
-        active = k >= (nlines_true - 10)
-        gap = split_sub(ll2i[k], ll2f[k], ll2i[k - 1], ll2f[k - 1])
+
+    def tail_step(carry, x):
+        pi, pf = carry                          # sanitized ll2[k - 1]
+        oi, of, active = x                      # original ll2[k]
+        gap = split_sub(oi, of, pi, pf)
         gap = jnp.where((gap >= lo) & (gap <= hi), gap, float(cfg.linelen))
-        ll2i = ll2i.at[k].set(jnp.where(active, ll2i[k - 1], ll2i[k]))
-        ll2f = ll2f.at[k].set(jnp.where(active, ll2f[k - 1] + gap, ll2f[k]))
+        ni = jnp.where(active, pi, oi)
+        nf = jnp.where(active, pf + gap, of)
+        return (ni, nf), (ni, nf)
+
+    ks = jnp.arange(n - 11, n)
+    _, (tio, tfo) = jax.lax.scan(
+        tail_step, (ll2i[n - 12], ll2f[n - 12]),
+        (ll2i[n - 11:], ll2f[n - 11:], ks >= (nlines_true - 10)))
+    ll2i = ll2i.at[n - 11:].set(tio)
+    ll2f = ll2f.at[n - 11:].set(tfo)
     return split_norm(ll2i, ll2f) + (bad,)
 
 
@@ -384,16 +406,22 @@ def _burst_refine(video, lli, llf, max_lc: int, lc, cfg: DecoderConfig):
     """Device version of FieldDecoder.refine_linelocs_burst
     (reference lddecode_core.py:1054-1133); split line locations.
     max_lc: static row count; lc: traced true line count (mask)."""
-    n = lli.shape[0]
-    inlinelen = cfg.linelen
     W = cfg.sys.outlinelen
     gaps = (lli[1:] - lli[:-1]).astype(jnp.float32) + (llf[1:] - llf[:-1])
-    wow = (gaps[:max_lc] / inlinelen).astype(jnp.float32)
+    wow = (gaps[:max_lc] / cfg.linelen).astype(jnp.float32)
     # only grid columns [16, 64) feed the phase estimator (burst window is
     # 20:60); resampling the full W-wide line here costs ~40x more gather
     scaled = RS.downscale_lines_split(video['demod_burst'], lli, llf, W,
                                       max_lc, wow, col0=16, ncols=48)
+    return _burst_refine_post(scaled, lli, llf, max_lc, lc, cfg)
 
+
+def _burst_refine_post(scaled, lli, llf, max_lc: int, lc,
+                       cfg: DecoderConfig):
+    """Burst phase estimation + repair from the 48-column scaled burst
+    windows (the window resample itself runs batch-level in the Pallas
+    kernel on TPU, see _refine_batch)."""
+    n = lli.shape[0]
     hz_ire = 1700000 / 140
     ph0, ph1, level, level_ok, counts_ok = B.burst_phase_offsets(scaled,
                                                                  hz_ire,
@@ -601,6 +629,37 @@ def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
     return lli, llf, burstlevel
 
 
+def _refine_batch(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
+                  colorphase: float, pallas: bool):
+    """Batched _finish_refine.  With pallas=True (TPU, NTSC) the two
+    burst-window resamples run as batch-level Pallas kernel calls
+    (col0=16, ncols=48) instead of per-field XLA gathers — the gathers
+    were ~20 ms of an 88 ms 16-field batch; same f32 op order, so the
+    result is bit-identical."""
+    if cfg.system != 'NTSC' or not pallas:
+        fn = lambda v, i_, f_, b_, l_: _finish_refine(
+            v, i_, f_, b_, l_, cfg, colorphase)
+        return jax.vmap(fn)(video, ll1i, ll1f, linebad, lc)
+
+    from ld_decode_tpu.tbc.pallas_resample import resample_lines_batch
+    max_lc = max_linecount(cfg)
+    W = cfg.sys.outlinelen
+    hs = lambda v, i_, f_, b_, l_: _hsync_refine(v, i_, f_, b_, l_, cfg)
+    lli, llf, _bad = jax.vmap(hs)(video, ll1i, ll1f, linebad, lc)
+    bl = None
+    for _pass in range(2):
+        scaled = resample_lines_batch(
+            video['demod_burst'], lli, llf, W, max_lc,
+            float(cfg.linelen), col0=16, ncols=48)
+        post = lambda s, i_, f_, l_: _burst_refine_post(
+            s, i_, f_, max_lc, l_, cfg)
+        lli, llf, bl = jax.vmap(post)(scaled, lli, llf, lc)
+    shift33 = colorphase * (np.pi / 180)
+    px = cfg.freq_mhz / (4 * 315 / 88)
+    lli, llf = split_norm(lli, llf + (shift33 - 8) * px)
+    return lli, llf, bl
+
+
 def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,
                    bank: DemodBank, cfg: DecoderConfig, n_audio1: int,
                    colorlevel: float, burstlevel,
@@ -716,9 +775,8 @@ def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
 
     from ld_decode_tpu.tbc.pallas_resample import resample_lines_batch
 
-    refine = lambda v, i_, f_, b_, l_: _finish_refine(
-        v, i_, f_, b_, l_, cfg, colorphase)
-    lli, llf, burstlevel = jax.vmap(refine)(video, ll1i, ll1f, linebad, lc)
+    lli, llf, burstlevel = _refine_batch(video, ll1i, ll1f, linebad, lc,
+                                         cfg, colorphase, pallas)
 
     lineoffset = 1 if cfg.system == 'NTSC' else 3
     max_lc = max_linecount(cfg)
@@ -845,10 +903,9 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     counts (the adaptive picture codec's prefix-fetched payload).
     Per-field like `pipeline_analyze`, so it shards over the batch
     (each shard compacts its own fields)."""
-    refine = lambda v, i_, f_, b_, l_: _finish_refine(
-        v, i_, f_, b_, l_, cfg, colorphase)
-    lli, llf, burstlevel = jax.vmap(refine)(video, lld.lli, lld.llf,
-                                            lld.bad, lc)
+    lli, llf, burstlevel = _refine_batch(video, lld.lli, lld.llf,
+                                         lld.bad, lc, cfg, colorphase,
+                                         pallas)
 
     lineoffset = 1 if cfg.system == 'NTSC' else 3
     max_lc = max_linecount(cfg)

@@ -67,7 +67,7 @@ def _flat_roll_left(win, s):
 
 def _kernel(ga_ref, rjl_ref, lfi_ref, lff_ref, st_ref, wow_ref, d_ref,
             o_ref, gwin_ref, sem, *, ntiles: int, outwidth: int,
-            st_nom: float, rows_per: int):
+            st_nom: float, rows_per: int, col0: int):
     p = pl.program_id(0)
     row0 = p * ROWS
     b = row0 // rows_per          # field index (rows_per % ROWS == 0)
@@ -98,7 +98,7 @@ def _kernel(ga_ref, rjl_ref, lfi_ref, lff_ref, st_ref, wow_ref, d_ref,
                 for c in range(WROW)]
 
     for t in range(ntiles):
-        k0 = t * LANE
+        k0 = col0 + t * LANE
         k = (k0 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 1)
              ).astype(jnp.float32)
         # same float32 op order as resample.downscale_lines_split:
@@ -135,15 +135,16 @@ def _kernel(ga_ref, rjl_ref, lfi_ref, lff_ref, st_ref, wow_ref, d_ref,
                 g = jnp.where((ixt >= c * LANE) & (ixt < (c + 1) * LANE),
                               gc, g)
             acc = acc + wt * g
-        o_ref[:, k0:k0 + LANE] = acc * wow[:, None]
+        o_ref[:, t * LANE:(t + 1) * LANE] = acc * wow[:, None]
 
 
 @functools.partial(jax.jit,
                    static_argnames=('outwidth', 'nlines', 'st_nom',
-                                    'interpret'))
+                                    'interpret', 'col0', 'ncols'))
 def resample_lines_batch(data: jnp.ndarray, lli: jnp.ndarray,
                          llf: jnp.ndarray, outwidth: int, nlines: int,
-                         st_nom: float, interpret: bool = False
+                         st_nom: float, interpret: bool = False,
+                         col0: int = 0, ncols: int = None
                          ) -> jnp.ndarray:
     """Batched cubic line resample on the TPU VPU.
 
@@ -151,8 +152,12 @@ def resample_lines_batch(data: jnp.ndarray, lli: jnp.ndarray,
     lli/llf: (B, >=nlines+1) split line locations (int32 anchor, f32 frac).
     outwidth: output samples per line (910/1135); st_nom: nominal line
     length in input samples (static, for tile window placement).
-    Returns (B, nlines, outwidth) float32, wow-corrected — identical
-    semantics to vmapped ``downscale_lines_split(..., wow)``.
+    col0/ncols restrict output to columns [col0, col0+ncols) of the
+    nominal grid (the burst refiner's 48-column window) with the same
+    f32 op order as the full resample.
+    Returns (B, nlines, ncols or outwidth) float32, wow-corrected —
+    identical semantics to vmapped ``downscale_lines_split(..., wow,
+    col0, ncols)``.
     """
     B, nsamp = data.shape
     si = lli[:, :nlines]
@@ -192,12 +197,15 @@ def resample_lines_batch(data: jnp.ndarray, lli: jnp.ndarray,
     rjl = (anchor_f - jnp.repeat(ganchor, ROWS)) // LANE
     rjl_f = jnp.clip(rjl, 0, SPAN_ROWS - WROW).astype(jnp.int32)
 
-    ntiles = _round_up(outwidth, LANE) // LANE
+    if ncols is None:
+        ncols = outwidth
+    ntiles = _round_up(ncols, LANE) // LANE
     wpad = ntiles * LANE
 
     out = pl.pallas_call(
         functools.partial(_kernel, ntiles=ntiles, outwidth=outwidth,
-                          st_nom=float(st_nom), rows_per=rows_per),
+                          st_nom=float(st_nom), rows_per=rows_per,
+                          col0=col0),
         out_shape=jax.ShapeDtypeStruct((rows, wpad), jnp.float32),
         grid=(ngroups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
@@ -209,4 +217,4 @@ def resample_lines_batch(data: jnp.ndarray, lli: jnp.ndarray,
         interpret=interpret,
     )(ga_f, rjl_f, lfi_f, lff_f, st_f, wow_f, data3)
 
-    return out.reshape(B, rows_per, wpad)[:, :nlines, :outwidth]
+    return out.reshape(B, rows_per, wpad)[:, :nlines, :ncols]

@@ -1,0 +1,110 @@
+"""Stage-level device-time breakdown of field_pipeline_batch on the TPU.
+
+Builds partial jits over the same batch geometry as the bench
+(batch=16, nblocks=52) and times each with N queued dispatches + one
+data-dependent scalar fetch (the only reliable timing protocol through
+the tunnel).  Stages nest, so stage cost = t[k] - t[k-1].
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ld_decode_tpu.utils.params import DecoderConfig
+from ld_decode_tpu.models import encode as E
+from ld_decode_tpu.ops import filters as F
+from ld_decode_tpu.tbc import fused as FU
+from ld_decode_tpu.tbc import framer as FR
+
+cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+bank = F.make_demod_bank(cfg, dtype=np.complex64)
+BATCH, NBLK = 16, 52
+n_audio1 = NBLK * bank.a_stage1_keep
+pitch = int(round(cfg.freq_hz / cfg.sys.fps / 2))
+
+import os
+cache = os.path.expanduser('~/.cache/ldd_tpu_bench_ntsc40_ramp_132_v1.npy')
+if os.path.exists(cache):
+    cap = np.load(cache)[:40_000_000]
+else:
+    cap = E.encode_frames(cfg, 8, E.EncodeSpec(pattern='ramp',
+                                               cav_start_frame=900))
+cap_dev = jnp.asarray(cap)
+vlen = jnp.int32(cap.shape[0])
+
+# lock onto the field grid
+fr = FR.Framer(cfg, bank, capture=cap, batch=4, nblocks=NBLK)
+_f0, rs0, _ = fr.readfield(None, 33046)
+fr.prefetcher.flush()
+start0 = jnp.int32(int(rs0))
+print(f'locked start {int(rs0)}', flush=True)
+
+
+def timed(tag, fn, *args, n=12):
+    fn(*args)
+    out = fn(*args)
+    _ = float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+    t0 = time.time()
+    outs = [fn(*args) for _ in range(n)]
+    _ = float(jnp.asarray(outs[-1]).ravel()[0].astype(jnp.float32))
+    dt = (time.time() - t0) / n
+    print(f'{tag}: {dt * 1e3:.1f} ms/batch', flush=True)
+    return dt
+
+
+mtf = jnp.float32(1.0)
+off0 = jnp.float32(0.0)
+
+
+def make_stage(depth):
+    @jax.jit
+    def fn(capture, s0, o0, m):
+        starts = FU.pipeline_starts(s0, 0, BATCH, pitch, vlen, cfg, NBLK)
+        out = FU.pipeline_analyze(capture, starts, m, bank, cfg, NBLK)
+        (video, audio1, lld, lc, valid, istop, nfo, nv, vs) = out
+        if depth == 0:                     # analyze only
+            return lld.lli.astype(jnp.float32)
+        lli, llf, bl = FU._refine_batch(video, lld.lli, lld.llf,
+                                        lld.bad, lc, cfg, 91.5, True)
+        if depth == 1:                     # + hsync/burst refinement
+            return llf
+        from ld_decode_tpu.tbc.pallas_resample import resample_lines_batch
+        scaled = resample_lines_batch(
+            video['demod'], lli[:, 1:], llf[:, 1:], cfg.sys.outlinelen,
+            FU.max_linecount(cfg), float(cfg.linelen))
+        if depth == 2:                     # + pallas resample
+            return scaled[:, 0]
+        outfn = lambda v, a, i_, f_, s_, l_, o_, bl_: FU._finish_output(
+            v, a, i_, f_, s_, l_, o_, bank, cfg, n_audio1, 1.45, bl_,
+            philips_windows=False, split_picture=True)
+        offs_used, _no = FU._audio_offset_chain(o0, lc, cfg)
+        pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
+                                    offs_used, bl)
+        if depth == 3:                     # + scale/audio/VBI outputs
+            return pic[:, :4].astype(jnp.float32)
+        planes, wcls = jax.vmap(
+            lambda p: FU.encode_picture_planes(p, cfg))(pic)
+        dense, rows = FU.compact_planes(planes, wcls,
+                                        FU.codec_cap_rows(cfg, BATCH))
+        return rows.astype(jnp.float32)    # + codec
+    return fn
+
+
+prev = 0.0
+names = ['analyze (demod+sync+vsync/linelocs)', '+refine (hsync/burst x2)',
+         '+pallas resample', '+outputs (scale/audio/VBI)', '+picture codec']
+for d in range(5):
+    t = timed(names[d], make_stage(d), cap_dev, start0, off0, mtf)
+    if d:
+        print(f'   stage delta: {(t - prev) * 1e3:.1f} ms', flush=True)
+    prev = t
+
+# the real thing for reference
+def full(capture, s0, o0, m):
+    chunks, nso, noo, pic, dense, rows = FU.field_pipeline_batch(
+        capture, s0, o0, m, bank, cfg, NBLK, n_audio1, BATCH, pitch,
+        pallas=True, valid_len=vlen)
+    return rows.astype(jnp.float32)
+timed('full field_pipeline_batch', full, cap_dev, start0, off0, mtf)
