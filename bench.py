@@ -313,11 +313,34 @@ def bench_pal(extra, jobs):
     fr.prefetcher.flush()
 
 
+def probe_link():
+    """Measure the tunnel's D2H rate directly (4 MB, chunked exactly like
+    the decode fetch path).  Recorded in the bench JSON so a depressed
+    headline carries its own evidence of link weather vs decoder
+    regression ('weather' measured 1.5-40+ MB/s across days)."""
+    import concurrent.futures as cf
+    import jax
+    import jax.numpy as jnp
+    buf = jax.jit(lambda: jnp.arange(2 * 1024 * 1024, dtype=jnp.uint16))()
+    buf.block_until_ready()
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(8) as ex:
+        parts = list(ex.map(
+            lambda i: np.asarray(buf[i * 131072:(i + 1) * 131072]),
+            range(16)))
+    dt = time.time() - t0
+    mb = sum(p.nbytes for p in parts) / 1e6
+    return round(mb / dt, 2)
+
+
 def main():
     import jax
     print(f'# backend: {jax.default_backend()}', file=sys.stderr)
     jobs = start_pre_encodes()
     extra = {}
+    extra['d2h_probe_MBps'] = [probe_link()]
+    print(f'# D2H link probe: {extra["d2h_probe_MBps"][0]} MB/s',
+          file=sys.stderr)
     rates, headline_set = bench_ntsc(extra, jobs)
     try:
         bench_pal(extra, jobs)
@@ -334,6 +357,9 @@ def main():
             print(f'# headline re-measure failed: {e!r}', file=sys.stderr)
     headline = median(rates)
     extra['ntsc_pass_rates'] = [round(r, 1) for r in rates]
+    extra['d2h_probe_MBps'].append(probe_link())
+    print(f'# D2H link probe (end): {extra["d2h_probe_MBps"][1]} MB/s',
+          file=sys.stderr)
 
     print(json.dumps({
         'metric': 'ntsc_demod_tbc_throughput',

@@ -36,11 +36,14 @@ def pilot_offsets(demod: jnp.ndarray, demod05: jnp.ndarray,
 
     Returns (frac (L, W-1), valid_crossing mask, adj_possible mask).
     """
+    from ld_decode_tpu.tbc.sync import gather_windows
     n = demod.shape[0]
     L = lli.shape[0]
     w0 = jnp.clip(lli - PILOT_W, 0, n - PILOT_W)
-    idx = w0[:, None] + jnp.arange(PILOT_W)[None, :]
-    pilot = demod[idx] - demod05[idx]
+    # slice-style window gathers (2.6x the elementwise form, see
+    # sync.gather_windows)
+    pilot = gather_windows(demod, w0, PILOT_W) \
+        - gather_windows(demod05, w0, PILOT_W)
     pilot = jnp.flip(pilot, axis=1)
 
     a = pilot[:, :-1]

@@ -86,6 +86,11 @@ class FieldPrefetcher:
         # next_offset0_dev, mtf]
         self._flight: deque = deque()
         self._rows_ema = None          # EMA of used dense rows per batch
+        # device-scalar caches: through the congested tunnel each eager
+        # host->device put on the dispatch thread costs a full round
+        # trip (30-450 ms); valid_len/mtf change rarely, so convert once
+        self._vlen_dev = None
+        self._mtf_dev = (None, None)
         self._executor = None
         import jax
         self._pallas = jax.default_backend() == 'tpu'
@@ -122,6 +127,7 @@ class FieldPrefetcher:
         self.base = int(base)
         self.valid_len = (int(valid_len) if valid_len is not None
                           else capture_dev.shape[0])
+        self._vlen_dev = None
 
     def _pos_match(self, entries, sample: int) -> Optional[int]:
         """Index of the first entry whose decode window covers a field
@@ -145,12 +151,16 @@ class FieldPrefetcher:
         cfg = dec.cfg
         n_audio1 = dec.nblocks * dec.bank.a_stage1_keep \
             if dec.bank.has_audio else 0
+        if self._vlen_dev is None:
+            self._vlen_dev = jnp.int32(self.valid_len)
+        if self._mtf_dev[0] != mtf_level:
+            self._mtf_dev = (mtf_level, jnp.float32(mtf_level))
         chunks, nso, noo, raw_pic, dense, rows = FU.field_pipeline_batch(
-            self.capture, start0, offset0, jnp.float32(mtf_level),
+            self.capture, start0, offset0, self._mtf_dev[1],
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase,
-            pallas=self._pallas, valid_len=jnp.int32(self.valid_len))
+            pallas=self._pallas, valid_len=self._vlen_dev)
         # eager-fetch every chunk now: each np.asarray blocks its worker
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
@@ -185,12 +195,18 @@ class FieldPrefetcher:
         the tunnel)."""
         if n <= 0:
             return []
-        flat = dense[off:off + n]
         nchunk = max(1, min(32, n // (128 * 1024)))
         step = -(-n // nchunk)
         ex = self._dense_exec()
-        return [ex.submit(lambda i=i: np.asarray(
-            flat[i * step:(i + 1) * step])) for i in range(nchunk)]
+
+        def pull(i):
+            lo = off + i * step
+            hi = min(off + n, lo + step)
+            # slice AND fetch on the worker: a device slice op is a
+            # dispatch round trip that must not block the main thread
+            return np.asarray(dense[lo:hi])
+
+        return [ex.submit(pull, i) for i in range(nchunk)]
 
     def _fetch_dense(self, dense, fut_rows, spec):
         """Assemble the used prefix of the dense plane buffer.  Runs on
