@@ -300,9 +300,11 @@ def bench_pal(extra, jobs):
     fr = FR.Framer(cfg, bank, capture=samples, batch=16, nblocks=56)
     s = warmup_framer(fr, 2560 * 14)
     rates = sustained_passes(fr, s, 20, 3, spf, 'pal')
-    if median(rates) < 60.0:
-        # same weather defense as the headline: re-measure once after a
-        # fresh re-warm instead of letting one collapse own the median
+    if median(rates) < 40.0:
+        # same weather defense as the headline, gated on the REAL-TIME
+        # target (40 MSa/s), not inside the healthy band (~53-69): extra
+        # samples only when the estimate is low would otherwise bias the
+        # recorded median upward (one-sided selection)
         fr.prefetcher.flush()
         s = warmup_framer(fr, 2560 * 14)
         rates += sustained_passes(fr, s, 20, 2, spf, 'pal')

@@ -124,8 +124,14 @@ def _blocked_envelopes(menv, fast0, slow0, core: int, warm: int, nb: int):
     def block(k):
         win = jax.lax.dynamic_slice(padded, (k * core,), (warm + core,))
         gpos = k * core + jnp.arange(warm + core) - warm
-        valid = gpos >= 0             # head padding of block 0: no-op steps
-        first = k == 0
+        valid = gpos >= 0             # head padding: no-op steps
+        # any block whose warm window reaches back to sample 0 sees the
+        # ENTIRE history from the known initial state -> its bounds can
+        # both start there and the block is exact by construction (not
+        # just block 0: block 1's warm region is truncated by the file
+        # start, and seeding it from (0, ceiling) would leave its bounds
+        # apart after only warm/2 decay steps)
+        first = (k * core - warm) <= 0
         lo0 = (jnp.where(first, fast0, 0.0), jnp.where(first, slow0, 0.0))
         up0 = (jnp.where(first, fast0, _ENV_CEIL),
                jnp.where(first, slow0, _ENV_CEIL))
@@ -151,7 +157,12 @@ def _blocked_envelopes(menv, fast0, slow0, core: int, warm: int, nb: int):
     pivot = jnp.float32(FACTOR * M14DB)
     dval = (jnp.maximum(jnp.maximum(fup, sup) - pivot, 0.0)
             - jnp.maximum(jnp.maximum(flo, slo) - pivot, 0.0))
-    return flo, slo, jnp.max(dval)
+    # end-state gap: once the bounds meet they stay met (the recurrence
+    # is deterministic), so a tiny final gap certifies the LAST state as
+    # exact — required when the caller carries it into a next chunk
+    end_gap = jnp.maximum(jnp.abs(fup[-1] - flo[-1]),
+                          jnp.abs(sup[-1] - slo[-1]))
+    return flo, slo, jnp.max(dval), end_gap
 
 
 def envelope_followers_blocked(maxenv: np.ndarray, fast0: float = 0.0,
@@ -160,14 +171,19 @@ def envelope_followers_blocked(maxenv: np.ndarray, fast0: float = 0.0,
                                tol: float = 0.05):
     """Block-parallel envelope followers.  Returns (fast, slow,
     converged); converged=False means the bound certificate exceeded
-    `tol` on the gain input somewhere and the caller must use
-    `_envelope_scan` instead."""
+    `tol` on the gain input somewhere (or the final carry state is not
+    pinned) and the caller must use `_envelope_scan` instead."""
     menv = jnp.asarray(maxenv, jnp.float32)
     n = int(menv.shape[0])
     nb = -(-n // core)
-    fast, slow, dval = _blocked_envelopes(
+    fast, slow, dval, end_gap = _blocked_envelopes(
         menv, jnp.float32(fast0), jnp.float32(slow0), core, warm, nb)
-    return np.asarray(fast), np.asarray(slow), bool(dval <= tol)
+    # converged = every output's gain input certified AND the final
+    # state exact (a streaming caller carries it into its next chunk as
+    # truth; real audio clamps the bounds together long before the end,
+    # a quiet tail falls back to the exact scan instead)
+    ok = bool(dval <= tol) and bool(end_gap <= 1e-3)
+    return np.asarray(fast), np.asarray(slow), ok
 
 
 class CXExpander:

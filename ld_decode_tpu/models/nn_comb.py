@@ -168,16 +168,27 @@ def training_pairs_from_frames(frames_u16: np.ndarray,
     frames = np.asarray(frames_u16).reshape(-1, CN.IN_Y, CN.IN_X)
     if frames.shape[0] < 3:
         raise ValueError('need >= 3 frames for 3D-comb supervision')
+    # windows of 8 interior frames per jitted call + one fetch each:
+    # per-frame dispatch from a host loop costs 30-400 ms through the
+    # remote-TPU tunnel (CLAUDE.md), ~50x the compute
+    dev = jnp.asarray(frames)
     inputs, targets = [], []
-    for e in range(1, frames.shape[0] - 1):
-        inp, clp = _training_pair(frames[e], frames[e - 1], frames[e + 1],
-                                  cfg)
+    W = 8
+    for e0 in range(1, frames.shape[0] - 1, W):
+        e1 = min(e0 + W, frames.shape[0] - 1)
+        inp, clp = _training_pairs_win(dev[e0:e1], dev[e0 - 1:e1 - 1],
+                                       dev[e0 + 1:e1 + 1], cfg)
         inputs.append(np.asarray(inp))
         targets.append(np.asarray(clp))
-    return np.stack(inputs), np.stack(targets)
+    return np.concatenate(inputs), np.concatenate(targets)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
+def _training_pairs_win(cur, prv, nxt, cfg: CN.CombConfig):
+    return jax.vmap(lambda c, p, n: _training_pair(c, p, n, cfg))(
+        cur, prv, nxt)
+
+
 def _training_pair(raw_u16, prev_u16, next_u16, cfg: CN.CombConfig):
     raw = raw_u16.astype(jnp.float32)
     invert_col = raw_u16[:, 0] == 16384
@@ -257,12 +268,16 @@ def train_nn_comb(key=None, steps: int = 250, batch: int = 8,
         return jnp.mean((pred - clp_t) ** 2) / (IRESCALE ** 2)
 
     if data is not None:
-        data = (jnp.asarray(data[0], jnp.float32),
-                jnp.asarray(data[1], jnp.float32))
+        # device_put once and thread through the jit as ARGUMENTS — a
+        # closure capture would bake the whole dataset into the
+        # executable as a compile-time constant (duplicated, re-staged
+        # per call, and replicated rather than sharded under a mesh)
+        data = (jax.device_put(jnp.asarray(data[0], jnp.float32)),
+                jax.device_put(jnp.asarray(data[1], jnp.float32)))
 
-    def step_fn(p, o, k):
-        if data is not None:
-            inp, clp_t = _file_batch(k, data, batch, h, w)
+    def step_fn(p, o, k, d):
+        if d is not None:
+            inp, clp_t = _file_batch(k, d, batch, h, w)
         else:
             inp, clp_t, *_ = synth_batch(k, batch, h, w)
         if mesh is not None:
@@ -278,7 +293,7 @@ def train_nn_comb(key=None, steps: int = 250, batch: int = 8,
     loss = None
     for i in range(steps):
         key, k = jax.random.split(key)
-        params, opt, loss = jstep(params, opt, k)
+        params, opt, loss = jstep(params, opt, k, data)
     return params, float(loss)
 
 

@@ -608,6 +608,20 @@ def pad_linelocs(linelocs1: np.ndarray, linebad: np.ndarray, nmax: int,
     return ll, bad
 
 
+def _ntsc_refine_tail(ll2i, ll2f, burst_pass, colorphase: float,
+                      cfg: DecoderConfig):
+    """The NTSC refinement tail shared by the per-field and batched
+    paths: two burst passes (via the given window+post function) then
+    the color-phase shift (reference lddecode_core.py:1181-1186)."""
+    lli, llf, bl = ll2i, ll2f, None
+    for _pass in range(2):
+        lli, llf, bl = burst_pass(lli, llf)
+    shift33 = colorphase * (np.pi / 180)
+    px = cfg.freq_mhz / (4 * 315 / 88)
+    lli, llf = split_norm(lli, llf + (shift33 - 8) * px)
+    return lli, llf, bl
+
+
 def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
                    colorphase: float):
     """hsync + burst/pilot refinement -> final split line locations."""
@@ -615,18 +629,14 @@ def _finish_refine(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
     ll2i, ll2f, bad = _hsync_refine(video, ll1i, ll1f, linebad, lc, cfg)
 
     if cfg.system == 'NTSC':
-        ll3i, ll3f, bl = _burst_refine(video, ll2i, ll2f, max_lc, lc, cfg)
-        ll4i, ll4f, bl = _burst_refine(video, ll3i, ll3f, max_lc, lc, cfg)
-        shift33 = colorphase * (np.pi / 180)
-        px = cfg.freq_mhz / (4 * 315 / 88)
-        lli, llf = split_norm(ll4i, ll4f + (shift33 - 8) * px)
-        burstlevel = bl
-    else:
-        lli, llf = PALK.refine_pilot(
-            video['demod'], video['demod_05'], ll2i, ll2f,
-            cfg.linelen, cfg.freq_mhz)
-        burstlevel = jnp.zeros_like(ll2f)
-    return lli, llf, burstlevel
+        return _ntsc_refine_tail(
+            ll2i, ll2f,
+            lambda i_, f_: _burst_refine(video, i_, f_, max_lc, lc, cfg),
+            colorphase, cfg)
+    lli, llf = PALK.refine_pilot(
+        video['demod'], video['demod_05'], ll2i, ll2f,
+        cfg.linelen, cfg.freq_mhz)
+    return lli, llf, jnp.zeros_like(ll2f)
 
 
 def _refine_batch(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
@@ -635,7 +645,8 @@ def _refine_batch(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
     burst-window resamples run as batch-level Pallas kernel calls
     (col0=16, ncols=48) instead of per-field XLA gathers — the gathers
     were ~20 ms of an 88 ms 16-field batch; same f32 op order, so the
-    result is bit-identical."""
+    result is bit-identical (hardware-checked by the verify skill's
+    pallas-vs-XLA comparison; CI runs pallas=False)."""
     if cfg.system != 'NTSC' or not pallas:
         fn = lambda v, i_, f_, b_, l_: _finish_refine(
             v, i_, f_, b_, l_, cfg, colorphase)
@@ -646,18 +657,16 @@ def _refine_batch(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
     W = cfg.sys.outlinelen
     hs = lambda v, i_, f_, b_, l_: _hsync_refine(v, i_, f_, b_, l_, cfg)
     lli, llf, _bad = jax.vmap(hs)(video, ll1i, ll1f, linebad, lc)
-    bl = None
-    for _pass in range(2):
+
+    def burst_pass(i_, f_):
         scaled = resample_lines_batch(
-            video['demod_burst'], lli, llf, W, max_lc,
+            video['demod_burst'], i_, f_, W, max_lc,
             float(cfg.linelen), col0=16, ncols=48)
-        post = lambda s, i_, f_, l_: _burst_refine_post(
-            s, i_, f_, max_lc, l_, cfg)
-        lli, llf, bl = jax.vmap(post)(scaled, lli, llf, lc)
-    shift33 = colorphase * (np.pi / 180)
-    px = cfg.freq_mhz / (4 * 315 / 88)
-    lli, llf = split_norm(lli, llf + (shift33 - 8) * px)
-    return lli, llf, bl
+        post = lambda s, pi, pf, l_: _burst_refine_post(
+            s, pi, pf, max_lc, l_, cfg)
+        return jax.vmap(post)(scaled, i_, f_, lc)
+
+    return _ntsc_refine_tail(lli, llf, burst_pass, colorphase, cfg)
 
 
 def _finish_output(video, audio1, lli, llf, scaled, lc, audio_offset,

@@ -105,15 +105,20 @@ class FieldPrefetcher:
                 max_workers=4 * (self.DEPTH + 1))
         return self._executor
 
-    def flush(self):
-        self.queue.clear()
+    def _clear_flight(self):
         # cancel fetches that have not started yet — completed/running
-        # transfers cannot be stopped, but queued ones must not hold the
-        # D2H link or executor workers hostage ahead of the new chain
+        # transfers cannot be stopped, but queued ones (incl. the
+        # speculative dense-prefix chunks, the dominant payload) must
+        # not hold the D2H link or executor workers hostage ahead of
+        # the replacement chain
         for fl in self._flight:
             for fut in fl[0] + [fl[5], fl[6]] + fl[7]:
                 fut.cancel()
         self._flight.clear()
+
+    def flush(self):
+        self.queue.clear()
+        self._clear_flight()
         self._rows_ema = None
 
     def set_capture(self, capture_dev, base: int, valid_len: int = None):
@@ -311,7 +316,7 @@ class FieldPrefetcher:
             out.append(_Entry(rs_abs, r, mtf, float(data['meta_f'][0])))
         if not clean and self._flight:
             # downstream in-flight batches chained off garbage state
-            self._flight.clear()
+            self._clear_flight()
             self.stats['flight_flush'] += 1
         t2 = _time.perf_counter()
         self.stats['t_fetch'] += t1 - t0
@@ -401,7 +406,7 @@ class FieldPrefetcher:
         if not self.queue:
             # batch head failed: decode one field sequentially (handles
             # resync/invalid paths exactly)
-            self._flight.clear()
+            self._clear_flight()
             self.stats['seq_fallback'] += 1
             r = self.decoder.process_resident(self.capture,
                                               int(sample) - self.base,

@@ -147,3 +147,41 @@ def test_blocked_certificate_fallback():
     f1, s1 = envelope_followers(menv, 20000.0, 20000.0)
     f2, s2 = _envelope_scan(menv, 20000.0, 20000.0)
     np.testing.assert_allclose(s1, s2, rtol=0, atol=1e-3)
+
+
+def test_blocked_streaming_chunks_match_sequential():
+    """Chunked streaming through CXExpander where a chunk ends below the
+    gain pivot (quiet tail after a loud passage): the blocked path must
+    not hand an uncertified carry state to the next chunk (it falls back
+    to the exact scan for that chunk instead), so chunked output equals
+    the host-loop reference."""
+    from ld_decode_tpu.audio import cx as CX
+    n = 120_000
+    t = np.arange(n) / 48000.0
+    env = np.zeros(n)
+    env[:40_000] = 0.9                 # loud passage
+    env[40_000:] = 0.0                 # ~1.7 s of silence
+    left = 24000.0 * env * np.sin(2 * np.pi * 997 * t)
+    a = np.empty(n * 2, np.uint16)
+    a[0::2] = np.clip(left + 32768, 0, 65535).astype(np.uint16)
+    a[1::2] = 32768
+    # chunk B opens with an attack
+    t2 = np.arange(n) / 48000.0
+    right2 = 20000.0 * np.sin(2 * np.pi * 1501 * t2)
+    b = np.empty(n * 2, np.uint16)
+    b[0::2] = 32768
+    b[1::2] = np.clip(right2 + 32768, 0, 65535).astype(np.uint16)
+
+    st = CX.CXExpander()
+    got = np.concatenate([st.process(a), st.process(b)])
+
+    orig = CX.envelope_followers
+    try:
+        CX.envelope_followers = lambda m, f0=0.0, s0=0.0: \
+            CX._envelope_scan(m, f0, s0)
+        st2 = CX.CXExpander()
+        want = np.concatenate([st2.process(a), st2.process(b)])
+    finally:
+        CX.envelope_followers = orig
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert d.max() <= 1, d.max()

@@ -147,3 +147,27 @@ def test_codec_heavy_noise_stays_lossless():
         a = a.reshape(-1, 910)
         b = b.reshape(-1, 910)
         assert b.shape == a.shape and b.any()
+
+
+def test_speculative_prefix_topup():
+    """The prefetcher's speculative dense-prefix fetch sizes itself from
+    an EMA of recent batches; force a gross underestimate and verify the
+    top-up path still reconstructs every picture exactly."""
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='ramp',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+
+    fr_ref = FR.Framer(cfg, bank, capture=samples, batch=6)
+    fr_tu = FR.Framer(cfg, bank, capture=samples, batch=6)
+    s1 = s2 = 33046
+    for i in range(3):
+        rv1 = fr_ref.readframe(None, s1, i == 0)
+        # underestimate by ~50x before every dispatch round
+        fr_tu.prefetcher._rows_ema = 20
+        rv2 = fr_tu.readframe(None, s2, i == 0)
+        if rv1[0] is None:
+            break
+        np.testing.assert_array_equal(rv1[0], rv2[0])
+        s1, s2 = rv1[2], rv2[2]
+    assert fr_tu.prefetcher.stats['pic_raw_fallback'] == 0
