@@ -133,12 +133,12 @@ def _rgb_encode(rgb, cap: int):
     from ld_decode_tpu.tbc import fused as FU
     E, rows0, W, _ = rgb.shape
     img = jnp.moveaxis(rgb, 3, 1).reshape(E, 3 * rows0, W).astype(jnp.int32)
-    Wp = -(-W // 4) * 4
+    Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
     if Wp != W:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, Wp - W)), mode='edge')
-    planes, wcls = jax.vmap(lambda im: FU.encode_image_planes(im, 1))(img)
-    dense, rows = FU.compact_planes(planes, wcls, cap)
-    return dense, rows, wcls
+    planes, bcls = jax.vmap(lambda im: FU.encode_image_planes(im, 1))(img)
+    dense, rows = FU.compact_planes(planes, bcls, cap)
+    return dense, rows, jax.vmap(FU.pack_bcls)(bcls)
 
 
 class _RgbCodecMixin:
@@ -152,8 +152,10 @@ class _RgbCodecMixin:
         return self._codec_ex
 
     def _codec_dispatch(self, rgb):
+        from ld_decode_tpu.tbc import fused as FU
         E, rows0, W, _ = rgb.shape
-        cap = E * 4 * 3 * rows0
+        Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
+        cap = E * 4 * 3 * rows0 * (Wp // FU.CODEC_BW)
         dense, rows, wcls = _rgb_encode(rgb, cap)
         fut_rows = self._ex.submit(np.asarray, rows)
         fut_wcls = self._ex.submit(np.asarray, wcls)
@@ -163,7 +165,8 @@ class _RgbCodecMixin:
         return ('codec', fut_rows, fut_wcls, fut_dense, (E, rows0, W))
 
     def _codec_fetch_dense(self, dense, fut_rows, W):
-        C4 = (-(-W // 4) * 4) // 4
+        from ld_decode_tpu.tbc import fused as FU
+        C4 = FU.CODEC_BW // 4          # words per block unit
         rows = fut_rows.result()
         n = int(rows.sum()) * C4
         if n == 0:
@@ -180,13 +183,15 @@ class _RgbCodecMixin:
         rows = fut_rows.result().astype(np.int64)
         wcls = fut_wcls.result()
         dense = fut_dense.result()
-        Wp = -(-W // 4) * 4
-        C4 = Wp // 4
+        Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
+        NB = Wp // FU.CODEC_BW
+        C4 = FU.CODEC_BW // 4
         offs = np.concatenate([[0], np.cumsum(rows)])
         out = []
         for e in range(E):
+            bcls = FU.unpack_bcls(wcls[e], 3 * rows0, NB)
             img = FU.decode_image_planes(
-                wcls[e], dense[offs[e] * C4:offs[e + 1] * C4],
+                bcls, dense[offs[e] * C4:offs[e + 1] * C4],
                 (3 * rows0, Wp), 1)
             out.append(np.ascontiguousarray(
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2)))

@@ -127,81 +127,126 @@ def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
 #              line-jitter residual at high-slope columns (sync edge,
 #              burst).  Head lines (l<k) carry raw values through the
 #              same horizontal pass.
-#   residuals  mod-2^16, zigzag-mapped to 16-bit z; each LINE ships only
-#              the nibble planes its own max residual needs (width class
-#              wcls in 0..4 nibbles).  Plane words pack 4 samples/u16.
-#   compaction the used (field, plane, line) rows of a whole batch are
-#              gathered into ONE contiguous dense buffer (row gather —
-#              rows are 128-lane-friendly 228/284-word vectors), and the
-#              host fetches only the USED PREFIX: the transfer size is
-#              the true information content, per batch, no recompile.
-#              Capacity is the full 4 planes, so the codec is lossless
-#              with zero fallbacks for ALL content; only bandwidth is
-#              content-dependent (clean ~0.27x raw, 1-2 IRE noise
-#              ~0.75x, white noise 1.0x).
+#   residuals  mod-2^16, zigzag-mapped to 16-bit z; each 16-sample
+#              BLOCK ships only the nibble planes its own max residual
+#              needs (class 0..4; per-LINE classes were measured useless
+#              on real decoded fields — see CODEC_BW above).  Plane
+#              words pack 4 samples/u16; the packed class table rides
+#              the per-field bundle.
+#   compaction the used (field, plane, line, block) units of a whole
+#              batch are gathered into ONE contiguous dense buffer
+#              (2.13 ms per 16-field batch measured at full capacity),
+#              and the host fetches only the USED PREFIX: the transfer
+#              size is the true information content, per batch, no
+#              recompile.  Capacity is the full 4 planes, so the codec
+#              is lossless with zero fallbacks for ALL content; only
+#              bandwidth is content-dependent (measured: real decoded
+#              ramp fields 0.60x raw, synthetic flat fields 0.27x,
+#              white noise 1.0x; round 2's fixed scheme was 0.848x).
 #
 # The raw picture additionally stays device-resident per batch
 # (`pic`), as a defensive fallback if a field's dense region were ever
 # unavailable.
 
+CODEC_BW = 16                     # class-block width in samples; the
+                                  # compaction unit is one block's 4
+                                  # nibble-packed words.  Real decoded
+                                  # fields have ~100 high-residual
+                                  # samples per line clustered in column
+                                  # regions (sync edge, burst, blanking
+                                  # transitions): per-LINE classes get
+                                  # poisoned to 16 bits (measured 1.0x
+                                  # raw = useless there), per-16-sample
+                                  # blocks measure 0.62x on the same
+                                  # fields.
+
+
 def pic_codec_params(cfg: DecoderConfig):
-    """(lines, width, padded width, words per row, predictor lag)."""
+    """(lines, width, padded width, words per class-block, lag)."""
     W = cfg.sys.outlinelen
-    Wp = -(-W // 4) * 4
+    Wp = -(-W // CODEC_BW) * CODEC_BW
     L = max_linecount(cfg)
     k = 2 if cfg.system == 'NTSC' else 4
-    return L, W, Wp, Wp // 4, k
+    return L, W, Wp, CODEC_BW // 4, k
 
 
 def codec_cap_rows(cfg: DecoderConfig, batch: int) -> int:
-    """Dense-buffer capacity in rows: the full 4 nibble planes of every
-    field — lossless with no overflow path; the host fetches only the
-    used prefix, so capacity costs no bandwidth."""
-    return 4 * max_linecount(cfg) * batch
+    """Dense-buffer capacity in block units: the full 4 nibble planes of
+    every field — lossless with no overflow path; the host fetches only
+    the used prefix, so capacity costs no bandwidth."""
+    L, W, Wp, W4, k = pic_codec_params(cfg)
+    return 4 * L * (Wp // CODEC_BW) * batch
 
 
 def encode_image_planes(x: jnp.ndarray, k: int):
-    """Adaptive-plane encode of any (R, C) u16/int image (C % 4 == 0):
-    vertical lag-k delta, horizontal lag-1 delta, zigzag, per-row nibble
-    planes.  Returns ((4, R, C//4) u16 plane words, (R,) i32 width
-    classes).  Also used for the comb's RGB48 output (k=1, planar)."""
+    """Adaptive-plane encode of any (R, C) u16/int image
+    (C % CODEC_BW == 0): vertical lag-k delta, horizontal lag-1 delta,
+    zigzag, per-BLOCK (CODEC_BW samples) nibble-plane classes.  Returns
+    ((4, R, NB, BW//4) u16 plane words, (R, NB) i32 block classes).
+    Also used for the comb's RGB48 output (k=1, planar)."""
     R, C = x.shape
+    NB = C // CODEC_BW
     x = x.astype(jnp.int32)
     r = jnp.concatenate([x[:k], x[k:] - x[:-k]], axis=0)
     d = jnp.concatenate([r[:, :1], r[:, 1:] - r[:, :-1]], axis=1)
     ds = ((d + 0x8000) & 0xFFFF) - 0x8000          # residual mod 2^16, signed
     z = ((ds << 1) ^ (ds >> 15)) & 0xFFFF          # zigzag
-    mx = jnp.max(z, axis=1)
-    wcls = ((mx > 0).astype(jnp.int32) + (mx >= 16).astype(jnp.int32)
+    zb = z.reshape(R, NB, CODEC_BW)
+    mx = jnp.max(zb, axis=2)
+    bcls = ((mx > 0).astype(jnp.int32) + (mx >= 16).astype(jnp.int32)
             + (mx >= 256).astype(jnp.int32) + (mx >= 4096).astype(jnp.int32))
-    zg = z.reshape(R, C // 4, 4)
+    zg = zb.reshape(R, NB, CODEC_BW // 4, 4)
     planes = []
     for p in range(4):
         nib = (zg >> (4 * p)) & 0xF
         planes.append((nib[..., 0] | (nib[..., 1] << 4) | (nib[..., 2] << 8)
                        | (nib[..., 3] << 12)).astype(jnp.uint16))
-    return jnp.stack(planes), wcls
+    return jnp.stack(planes), bcls
 
 
-def decode_image_planes(wcls: np.ndarray, dense_words: np.ndarray,
+def pack_bcls(bcls: jnp.ndarray) -> jnp.ndarray:
+    """(R, NB) classes 0..4 -> flat u16 words, 4 classes x 4 bits each
+    (count padded to a multiple of 4)."""
+    flat = bcls.reshape(-1)
+    n4 = -(-flat.shape[0] // 4) * 4
+    g = jnp.pad(flat, (0, n4 - flat.shape[0])).reshape(-1, 4)
+    return (g[:, 0] | (g[:, 1] << 4) | (g[:, 2] << 8) | (g[:, 3] << 12)
+            ).astype(jnp.uint16)
+
+
+def unpack_bcls(words: np.ndarray, R: int, NB: int) -> np.ndarray:
+    w = np.asarray(words).astype(np.int64)
+    g = np.stack([w & 0xF, (w >> 4) & 0xF, (w >> 8) & 0xF, w >> 12],
+                 axis=1).reshape(-1)
+    return g[:R * NB].reshape(R, NB)
+
+
+def bcls_words(R: int, NB: int) -> int:
+    return -(-(R * NB) // 4)
+
+
+def decode_image_planes(bcls: np.ndarray, dense_words: np.ndarray,
                         shape, k: int) -> np.ndarray:
     """Invert encode_image_planes for one image from its contiguous
-    dense region (host)."""
+    dense region (host).  bcls: (R, NB) block classes."""
     R, C = shape
-    C4 = C // 4
-    z = np.zeros((R, C), np.int64)
+    NB = C // CODEC_BW
+    W4 = CODEC_BW // 4
+    z = np.zeros((R * NB, CODEC_BW), np.int64)
     dw = np.asarray(dense_words).astype(np.int64)
+    bf = np.asarray(bcls).reshape(-1)
     pos = 0
     for p in range(4):
-        lines = np.nonzero(wcls > p)[0]
-        cnt = len(lines)
+        blocks = np.nonzero(bf > p)[0]
+        cnt = len(blocks)
         if not cnt:
             continue
-        w = dw[pos * C4:(pos + cnt) * C4].reshape(cnt, C4)
+        w = dw[pos * W4:(pos + cnt) * W4].reshape(cnt, W4)
         pos += cnt
         nib = np.stack([w & 0xF, (w >> 4) & 0xF, (w >> 8) & 0xF, w >> 12],
-                       axis=2).reshape(cnt, C)
-        z[lines] |= nib << (4 * p)
+                       axis=2).reshape(cnt, CODEC_BW)
+        z[blocks] |= nib << (4 * p)
+    z = z.reshape(R, C)
     d = ((z >> 1) ^ -(z & 1))                      # un-zigzag
     r = np.cumsum(d, axis=1)                        # undo horizontal lag-1
     x = np.empty_like(r)
@@ -211,32 +256,34 @@ def decode_image_planes(wcls: np.ndarray, dense_words: np.ndarray,
 
 
 def encode_picture_planes(pic: jnp.ndarray, cfg: DecoderConfig):
-    """(L*W,) u16 picture -> ((4, L, W4) u16 nibble-plane words,
-    (L,) i32 per-line width classes)."""
+    """(L*W,) u16 picture -> ((4, L, NB, W4) u16 nibble-plane words,
+    (L, NB) i32 block classes)."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
     x = pic.reshape(L, W)
     x = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, Wp - W)), mode='edge')
     return encode_image_planes(x, k)
 
 
-def compact_planes(planes: jnp.ndarray, wcls: jnp.ndarray, cap: int):
-    """planes (B, 4, L, W4) u16 + wcls (B, L) -> (dense (cap*W4,) u16,
-    rows (B,) i32).  Used rows land contiguously in (field, plane, line)
-    order; rows[b] = sum(wcls[b]) is field b's row count."""
-    B, _, L, W4 = planes.shape
-    mask = wcls[:, None, :] > jnp.arange(4)[None, :, None]
-    rows = jnp.sum(wcls, axis=1).astype(jnp.int32)
-    src = planes.reshape(B * 4 * L, W4)
+def compact_planes(planes: jnp.ndarray, bcls: jnp.ndarray, cap: int):
+    """planes (B, 4, R, NB, W4) u16 + bcls (B, R, NB) -> (dense
+    (cap*W4,) u16, rows (B,) i32).  Used block units land contiguously
+    in (field, plane, line, block) order; rows[b] = sum(bcls[b]) is
+    field b's unit count."""
+    W4 = planes.shape[-1]
+    mask = bcls[:, None, :, :] > jnp.arange(4)[None, :, None, None]
+    rows = jnp.sum(bcls, axis=(1, 2)).astype(jnp.int32)
+    src = planes.reshape(-1, W4)
     idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
     return jnp.take(src, idx, axis=0).reshape(-1), rows
 
 
-def decode_picture_planes(wcls: np.ndarray, dense_words: np.ndarray,
+def decode_picture_planes(bcls: np.ndarray, dense_words: np.ndarray,
                           cfg: DecoderConfig) -> np.ndarray:
-    """Invert encode_picture_planes+compaction for ONE field: wcls (L,)
-    and that field's contiguous dense region (rows*W4 u16 words)."""
+    """Invert encode_picture_planes+compaction for ONE field: bcls
+    (L, NB) (or its packed-word form via unpack_bcls at the caller) and
+    that field's contiguous dense region (rows*W4 u16 words)."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    x = decode_image_planes(wcls, dense_words, (L, Wp), k)
+    x = decode_image_planes(bcls, dense_words, (L, Wp), k)
     return x[:, :W].reshape(-1)
 
 
@@ -815,7 +862,7 @@ def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     nlines = max_nlines(cfg)
     ncl = len(cfg.sys.philips_codelines)
     return BundleSpec([
-        ('pic_wcls', (L,), np.uint16),
+        ('pic_wcls', (bcls_words(L, Wp // CODEC_BW),), np.uint16),
         ('audio', (audio_maxt(cfg) * 2,), np.int16),
         ('linelocs_i', (nlines,), np.int32),
         ('linelocs_f', (nlines,), np.float32),
@@ -933,15 +980,15 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                                 offs_used, burstlevel)
 
-    planes, wcls = jax.vmap(lambda p: encode_picture_planes(p, cfg))(pic)
-    dense, rows = compact_planes(planes, wcls,
+    planes, bcls = jax.vmap(lambda p: encode_picture_planes(p, cfg))(pic)
+    dense, rows = compact_planes(planes, bcls,
                                  codec_cap_rows(cfg, starts.shape[0]))
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
                         lc, nfo, nv, vs_count, starts], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
-    bundle = jnp.concatenate([wcls.astype(jnp.uint16),
+    bundle = jnp.concatenate([jax.vmap(pack_bcls)(bcls),
                               rest.reshape(starts.shape[0], -1), meta],
                              axis=1)
     return bundle, pic, dense, rows

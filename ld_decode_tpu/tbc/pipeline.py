@@ -172,7 +172,7 @@ class FieldPrefetcher:
         # host consumes it — the D2H link stays saturated.  The picture's
         # dense nibble planes are prefix-fetched: a tiny row-count vector
         # comes over first, then only the used words (clean content
-        # ships ~0.27x the raw picture bytes).  raw_pic stays on device
+        # ships ~0.60x the raw picture bytes).  raw_pic stays on device
         # as a defensive fallback.
         ex = self._exec()
         futs = [ex.submit(np.asarray, c) for c in chunks]
@@ -269,7 +269,8 @@ class FieldPrefetcher:
 
         spec = FU.pipeline_bundle_spec(cfg)
         nlines = FU.max_nlines(cfg)
-        _, _, _, W4, _ = FU.pic_codec_params(cfg)
+        L_codec, _, Wp_codec, W4, _ = FU.pic_codec_params(cfg)
+        NB_codec = Wp_codec // FU.CODEC_BW
         W = cfg.sys.outlinelen
         out: List[_Entry] = []
         prev_rs = -1
@@ -297,11 +298,11 @@ class FieldPrefetcher:
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
                 readsample=rs_abs)
-            wcls = data['pic_wcls'].astype(np.int64)
+            bcls = FU.unpack_bcls(data['pic_wcls'], L_codec, NB_codec)
             if offs[b + 1] * W4 <= dense.shape[0] \
-                    and int(wcls.sum()) == rows[b]:
+                    and int(bcls.sum()) == rows[b]:
                 pic = FU.decode_picture_planes(
-                    wcls, dense[offs[b] * W4:offs[b + 1] * W4], cfg)
+                    bcls, dense[offs[b] * W4:offs[b + 1] * W4], cfg)
             else:
                 # defensive only (capacity covers all 4 planes, so this
                 # cannot trigger from content): pull the raw picture

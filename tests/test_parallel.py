@@ -161,11 +161,13 @@ def test_sharded_pipeline_matches_single():
     for b in range(batch):
         sh, li = b // lb, b % lb
         o_sh = sh * cap_l * W4 + int(rows_np[sh * lb:sh * lb + li].sum()) * W4
-        wcls = spec.unpack(got[b])['pic_wcls']
+        L_c, _, Wp_c, _, _ = FU.pic_codec_params(cfg)
+        bcls = FU.unpack_bcls(spec.unpack(got[b])['pic_wcls'],
+                              L_c, Wp_c // FU.CODEC_BW)
         p_sh = FU.decode_picture_planes(
-            wcls, d_s[o_sh:o_sh + rows_np[b] * W4], cfg)
+            bcls, d_s[o_sh:o_sh + rows_np[b] * W4], cfg)
         p_1 = FU.decode_picture_planes(
-            wcls, d_1[off1[b] * W4:off1[b + 1] * W4], cfg)
+            bcls, d_1[off1[b] * W4:off1[b + 1] * W4], cfg)
         np.testing.assert_array_equal(p_sh, p_1)
         np.testing.assert_array_equal(p_sh, np.asarray(pic[b]))
 

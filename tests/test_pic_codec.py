@@ -85,7 +85,7 @@ def test_codec_white_noise_stays_lossless():
     pic = rng.integers(0, 65536, L * W).astype(np.uint16)
     got, rows, used_words = _roundtrip_batch(pic[None], cfg)
     np.testing.assert_array_equal(got[0], pic)
-    assert rows[0] == 4 * L                  # every plane of every line
+    assert rows[0] == 4 * L * (Wp // FU.CODEC_BW)   # all planes, all blocks
 
 
 def test_codec_batch_mixed_content():
@@ -103,7 +103,7 @@ def test_codec_batch_mixed_content():
     got, rows, used = _roundtrip_batch(pics, cfg)
     for b in range(4):
         np.testing.assert_array_equal(got[b], pics[b])
-    assert rows[0] == rows[3] < rows[1] < rows[2] == 4 * L
+    assert rows[0] == rows[3] < rows[1] < rows[2] == 4 * L * (Wp // FU.CODEC_BW)
 
 
 def test_codec_per_line_adaptivity():
@@ -120,7 +120,7 @@ def test_codec_per_line_adaptivity():
     np.testing.assert_array_equal(got[0], flat)
     # ~12 wild/altered lines at 4 planes + everything else near-free:
     # the wild region must not drag the whole field to 4 planes
-    assert rows[0] < 4 * 30
+    assert rows[0] < 4 * 30 * (Wp // FU.CODEC_BW)
 
 
 def test_rgb_image_codec_roundtrip():
@@ -130,7 +130,7 @@ def test_rgb_image_codec_roundtrip():
     import jax
     rng = np.random.default_rng(9)
     rows0, W = 480, 744
-    Wp = -(-W // 4) * 4
+    Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
     yy, xx = np.meshgrid(np.arange(rows0), np.arange(W), indexing='ij')
     img = np.stack([
         (20000 + 40 * yy + 20 * xx) % 60000,
@@ -142,12 +142,12 @@ def test_rgb_image_codec_roundtrip():
 
     planes, wcls = FU.encode_image_planes(jnp.asarray(pad), 1)
     dense, rows = FU.compact_planes(planes[None], wcls[None],
-                                    4 * 3 * rows0)
+                                    4 * 3 * rows0 * (Wp // FU.CODEC_BW))
     rows = int(np.asarray(rows)[0])
     got = FU.decode_image_planes(np.asarray(wcls),
-                                 np.asarray(dense)[:rows * (Wp // 4)],
+                                 np.asarray(dense)[:rows * (FU.CODEC_BW // 4)],
                                  (3 * rows0, Wp), 1)
     np.testing.assert_array_equal(got[:, :W], img)
     # smooth gradients + tiny noise: ~0.50x the raw bytes (2 nibble
     # planes/row; the %60000 wrap rows cost a little more)
-    assert rows * (Wp // 4) * 2 < 0.55 * img.nbytes
+    assert rows * (FU.CODEC_BW // 4) * 2 < 0.55 * img.nbytes
