@@ -108,15 +108,15 @@ def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# lossless picture codec: per-line adaptive nibble planes
+# lossless picture codec: per-block adaptive nibble planes
 #
 # The axon tunnel's D2H link saturates near ~40 MB/s (collapsing to
 # ~1 MB/s in bad weather) and the u16 picture is ~93% of every field
 # bundle, so raw transfer caps end-to-end decode regardless of TPU
 # speed.  The batched pipeline therefore ships the picture losslessly
-# compressed, with a per-line adaptive rate so clean content pays for
-# clean content (round 2 shipped a fixed dense 12-bit plane = 0.848x
-# raw even when residuals fit in 4 bits):
+# compressed, with a per-16-sample-block adaptive rate so clean content
+# pays for clean content (round 2 shipped a fixed dense 12-bit plane =
+# 0.848x raw even when residuals fit in 4 bits):
 #
 #   transform  vertical delta against line l-k, then horizontal lag-1
 #              delta of that residual.  k=2 for NTSC (2 lines = 455
@@ -853,9 +853,9 @@ def field_finish_batch(video, audio1, ll1i, ll1f, linebad, lc, audio_offset,
 def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     """Like finish_bundle_spec but with the Philips codes sliced
     on-device (nibbles instead of raw line windows) and the picture
-    shipped separately (per-line adaptive codec: only the width-class
-    table rides the bundle; the dense nibble planes go out as one
-    batch-level prefix-fetched buffer), plus per-field meta
+    shipped separately (per-block adaptive codec: only the packed
+    block-class table rides the bundle; the dense nibble planes go out
+    as one batch-level prefix-fetched buffer), plus per-field meta
     (valid/istop/lc/nfo/npeaks/nvsyncs/readsample int32 words, then the
     audio offset this field consumed)."""
     L, W, Wp, W4, k = pic_codec_params(cfg)

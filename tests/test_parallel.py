@@ -153,7 +153,7 @@ def test_sharded_pipeline_matches_single():
     # same pictures as the single-device whole-batch compaction
     np.testing.assert_array_equal(np.asarray(rows_s), np.asarray(rows1))
     rows_np = np.asarray(rows1).astype(np.int64)
-    W4 = FU.pic_codec_params(cfg)[3]
+    L_c, _, Wp_c, W4, _ = FU.pic_codec_params(cfg)
     lb = batch // 8
     cap_l = FU.codec_cap_rows(cfg, lb)
     d_s, d_1 = np.asarray(dense_s), np.asarray(dense1)
@@ -161,7 +161,6 @@ def test_sharded_pipeline_matches_single():
     for b in range(batch):
         sh, li = b // lb, b % lb
         o_sh = sh * cap_l * W4 + int(rows_np[sh * lb:sh * lb + li].sum()) * W4
-        L_c, _, Wp_c, _, _ = FU.pic_codec_params(cfg)
         bcls = FU.unpack_bcls(spec.unpack(got[b])['pic_wcls'],
                               L_c, Wp_c // FU.CODEC_BW)
         p_sh = FU.decode_picture_planes(

@@ -2,9 +2,9 @@
 compact_planes / decode_picture_planes): the batched pipeline ships the
 u16 TBC picture compressed because the tunnel's D2H link is the
 end-to-end throughput wall (~93% of each field bundle is picture).  The
-codec is per-line adaptive: each line ships only the nibble planes its
-own max residual needs, and the host fetches only the used prefix of
-the batch-compacted dense buffer."""
+codec is per-16-sample-block adaptive: each block ships only the nibble
+planes its own max residual needs, and the host fetches only the used
+prefix of the batch-compacted dense buffer."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -61,9 +61,9 @@ def test_codec_roundtrip_synthetic_field(system):
 @pytest.mark.parametrize('system', ['NTSC', 'PAL'])
 def test_codec_roundtrip_moderate_noise(system):
     """Per-line varying content with moderate noise round-trips exactly
-    and lands at the 12-bit-line rate (~0.72x: the per-line MAX picks
-    the class, and a 912-sample line's max of +-80-count noise zigzags
-    past 256) — still below the old fixed codec's 0.848x."""
+    and lands near the 12-bit-block rate (a 16-sample block's max of
+    +-80-count noise usually zigzags past 256) — below the old fixed
+    codec's 0.848x."""
     cfg = DecoderConfig(system=system, freq_mhz=40.0)
     L, W, Wp, W4, k = FU.pic_codec_params(cfg)
     rng = np.random.default_rng(5)
