@@ -126,19 +126,23 @@ def _to_rgb8(rgb):
 def _rgb_encode(rgb, cap: int):
     """Adaptive-plane codec for the RGB48 output stream (the same
     machinery as the picture codec, fused.encode_image_planes): planar
-    layout, vertical lag-1 + horizontal delta per channel.  RGB48 is
-    2 MB/frame raw — the dominant D2H stream of the full chain on
-    tunneled hosts; typical comb output compresses to ~0.3-0.5x and the
-    host fetches only the used prefix."""
+    layout, vertical lag-1 delta per channel, per-block bit planes with
+    the Rice escape.  RGB48 is 2 MB/frame raw — the dominant D2H stream
+    of the full chain on tunneled hosts; typical comb output compresses
+    to ~0.3-0.5x and the host fetches only the used prefixes."""
     from ld_decode_tpu.tbc import fused as FU
     E, rows0, W, _ = rgb.shape
     img = jnp.moveaxis(rgb, 3, 1).reshape(E, 3 * rows0, W).astype(jnp.int32)
     Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
     if Wp != W:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, Wp - W)), mode='edge')
-    planes, bcls = jax.vmap(lambda im: FU.encode_image_planes(im, 1))(img)
-    dense, rows = FU.compact_planes(planes, bcls, cap)
-    return dense, rows, jax.vmap(FU.pack_bcls)(bcls)
+    planes, tab, qstreams, qwords = jax.vmap(
+        lambda im: FU.encode_image_planes(im, 1))(img)
+    dense, rows = FU.compact_planes(planes, tab, cap)
+    qcap = FU.codec_qcap_words(3 * rows0, Wp // FU.CODEC_BW) * E
+    dense_q, qw = FU.compact_qstreams(qstreams, qwords, qcap)
+    return dense, dense_q, jnp.stack([rows, qw]), \
+        jax.vmap(FU.pack_tab)(tab)
 
 
 class _RgbCodecMixin:
@@ -155,20 +159,16 @@ class _RgbCodecMixin:
         from ld_decode_tpu.tbc import fused as FU
         E, rows0, W, _ = rgb.shape
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
-        cap = E * 4 * 3 * rows0 * (Wp // FU.CODEC_BW)
-        dense, rows, wcls = _rgb_encode(rgb, cap)
-        fut_rows = self._ex.submit(np.asarray, rows)
-        fut_wcls = self._ex.submit(np.asarray, wcls)
-        fut_dense = self._ex.submit(self._codec_fetch_dense, dense,
-                                    fut_rows, W)
+        cap = E * FU.CODEC_NPLANES * 3 * rows0 * (Wp // FU.CODEC_BW)
+        dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap)
+        fut_rows = self._ex.submit(np.asarray, rows2)
+        fut_wtab = self._ex.submit(np.asarray, wtab)
+        fut_dense = self._ex.submit(self._codec_fetch_dense,
+                                    (dense, dense_q), fut_rows, W)
         self.stats['windows'] += 1
-        return ('codec', fut_rows, fut_wcls, fut_dense, (E, rows0, W))
+        return ('codec', fut_rows, fut_wtab, fut_dense, (E, rows0, W))
 
-    def _codec_fetch_dense(self, dense, fut_rows, W):
-        from ld_decode_tpu.tbc import fused as FU
-        C4 = FU.CODEC_BW // 4          # words per block unit
-        rows = fut_rows.result()
-        n = int(rows.sum()) * C4
+    def _codec_fetch_one(self, dense, n):
         if n == 0:
             return np.zeros(0, np.uint16)
         flat = dense[:n]
@@ -177,22 +177,27 @@ class _RgbCodecMixin:
         return np.concatenate(list(self._codec_exec().map(
             lambda i: np.asarray(flat[i * step:(i + 1) * step]), range(k))))
 
+    def _codec_fetch_dense(self, denses, fut_rows, W):
+        rows2 = fut_rows.result()
+        return (self._codec_fetch_one(denses[0], int(rows2[0].sum())),
+                self._codec_fetch_one(denses[1], int(rows2[1].sum())))
+
     def _codec_decode(self, handle):
         from ld_decode_tpu.tbc import fused as FU
-        _, fut_rows, fut_wcls, fut_dense, (E, rows0, W) = handle
-        rows = fut_rows.result().astype(np.int64)
-        wcls = fut_wcls.result()
-        dense = fut_dense.result()
+        _, fut_rows, fut_wtab, fut_dense, (E, rows0, W) = handle
+        rows2 = fut_rows.result().astype(np.int64)
+        wtab = fut_wtab.result()
+        dense, dense_q = fut_dense.result()
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         NB = Wp // FU.CODEC_BW
-        C4 = FU.CODEC_BW // 4
-        offs = np.concatenate([[0], np.cumsum(rows)])
+        offs = np.concatenate([[0], np.cumsum(rows2[0])])
+        offs_q = np.concatenate([[0], np.cumsum(rows2[1])])
         out = []
         for e in range(E):
-            bcls = FU.unpack_bcls(wcls[e], 3 * rows0, NB)
+            tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
             img = FU.decode_image_planes(
-                bcls, dense[offs[e] * C4:offs[e + 1] * C4],
-                (3 * rows0, Wp), 1)
+                tab, dense[offs[e]:offs[e + 1]],
+                dense_q[offs_q[e]:offs_q[e + 1]], (3 * rows0, Wp), 1)
             out.append(np.ascontiguousarray(
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2)))
         return out

@@ -124,38 +124,59 @@ def _border_scale(h: int, w: int) -> np.ndarray:
     return (ramp[iy][:, None] * ramp[ix][None, :]).astype(np.float32)
 
 
-def _bilinear_gather(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray
-                     ) -> jnp.ndarray:
-    """Sample (H, W, C) field at float coords, clamped to the frame.
+def _quad_expand(R: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H*W, 4*C) with the 4 bilinear-corner shifts
+    precomputed: row p = [R[y,x], R[y,min(x+1,W-1)], R[min(y+1,H-1),x],
+    R[min(y+1),min(x+1)]] — exactly the clamp semantics of the corner
+    reads below.  Built once per pyramid level and shared by all
+    warp iterations."""
+    h, w, c = R.shape
+    Rx = jnp.concatenate([R[:, 1:], R[:, -1:]], axis=1)
+    Ry = jnp.concatenate([R[1:], R[-1:]], axis=0)
+    Rxy = jnp.concatenate([Ry[:, 1:], Ry[:, -1:]], axis=1)
+    return jnp.concatenate([R, Rx, Ry, Rxy], axis=-1).reshape(h * w, 4 * c)
 
-    The four corner reads go through flat 1-D `take`s of the (H*W, C)
-    view: numerically identical to 2-D advanced indexing, but measured
-    ~27% faster on TPU (XLA's composite 2-index gather lowering is worse
-    than a single linearized index; a 2x2-slice lax.gather is 60x worse
-    still).  This is the hot op of the Farneback flow — 3 warps per
-    iteration per level."""
-    h, w = R.shape[:2]
+
+def _bilinear_gather_quad(Rq: jnp.ndarray, h: int, w: int, c: int,
+                          fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
+    """Sample the quad-expanded field at float coords, clamped to the
+    frame.
+
+    All four corner reads come from ONE flat `take` of 4*C-wide rows:
+    TPU gather cost scales with the INDEX COUNT, not the row width
+    (measured: 212k takes cost ~1.8-2.2 ms whether rows are 5 or 40
+    wide), so folding the corners into the row quarters the index work
+    — 4.2 ms -> 2.0 ms per warp at 252x840, bit-identical output
+    (scripts/probe_warp.py).  A 2x2-slice lax.gather is 60x worse, and
+    2-D advanced indexing ~27% worse than the linearized take.  This is
+    the hot op of the Farneback flow — one warp per iteration per
+    level, on two fields."""
     fx = jnp.clip(fx, 0.0, w - 1.001)
     fy = jnp.clip(fy, 0.0, h - 1.001)
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     ax = (fx - x0)[..., None]
     ay = (fy - y0)[..., None]
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    Rf = R.reshape(h * w, -1)
-
-    def tk(y, x):
-        return jnp.take(Rf, (y * w + x).reshape(-1), axis=0).reshape(R.shape)
-
-    return (tk(y0, x0) * (1 - ay) * (1 - ax) + tk(y0, x1) * (1 - ay) * ax
-            + tk(y1, x0) * ay * (1 - ax) + tk(y1, x1) * ay * ax)
+    q = jnp.take(Rq, (y0 * w + x0).reshape(-1), axis=0).reshape(
+        h, w, 4, c)
+    return (q[..., 0, :] * (1 - ay) * (1 - ax) + q[..., 1, :] * (1 - ay) * ax
+            + q[..., 2, :] * ay * (1 - ax) + q[..., 3, :] * ay * ax)
 
 
-def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray,
+def _bilinear_gather(R: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Sample (H, W, C) field at float coords, clamped to the frame
+    (single-shot form; the iteration loop uses the quad-expanded path
+    above)."""
+    h, w, c = R.shape
+    return _bilinear_gather_quad(_quad_expand(R), h, w, c, fx, fy)
+
+
+def _update_matrices(R0: jnp.ndarray, R1q: jnp.ndarray, flow: jnp.ndarray,
                      bscale: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel normal-equation entries [g11, g12, g22, h1, h2]
-    (OpenCV FarnebackUpdateMatrices)."""
+    (OpenCV FarnebackUpdateMatrices).  R1q is the quad-expanded
+    (H*W, 20) second field (`_quad_expand(R1)`)."""
     h, w = R0.shape[:2]
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing='ij')
@@ -166,7 +187,7 @@ def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray,
     x1 = jnp.floor(fx)
     y1 = jnp.floor(fy)
     inside = ((x1 >= 0) & (x1 < w - 1) & (y1 >= 0) & (y1 < h - 1))
-    r1 = _bilinear_gather(R1, fx, fy)
+    r1 = _bilinear_gather_quad(R1q, h, w, 5, fx, fy)
 
     # averaged quadratic terms (cv2's r4/r5/r6): outside the warp range
     # the sampled side is dropped and the cross term halved
@@ -266,14 +287,14 @@ def _farneback_jit(img0, img1, flow0, pyr_scale, levels, winsize,
             i1 = jax.image.resize(_gauss_blur(f1, sigma), (hk, wk), 'linear')
 
         R0 = poly_expansion(i0, poly_n, poly_sigma)
-        R1 = poly_expansion(i1, poly_n, poly_sigma)
+        R1q = _quad_expand(poly_expansion(i1, poly_n, poly_sigma))
         bscale = jnp.asarray(_border_scale(hk, wk))
 
-        M = _update_matrices(R0, R1, flow, bscale)
+        M = _update_matrices(R0, R1q, flow, bscale)
         for it in range(iterations):
             flow = _solve_flow(_box_blur(M, winsize))
             if it < iterations - 1:
-                M = _update_matrices(R0, R1, flow, bscale)
+                M = _update_matrices(R0, R1q, flow, bscale)
     return flow
 
 

@@ -141,15 +141,20 @@ def build_pipeline_batch_sharded(cfg: DecoderConfig, bank: DemodBank,
         a dynamic slice at a data-dependent position; replication keeps
         the windows collective-free — HBM is sized for the 512 MB
         segment per chip).
-      * outputs stay dp-sharded: per-field bundle rows and the raw
-        picture (codec overflow fallback) land P('f'); the chained
-        (next_start0, next_offset0) scalars are computed identically on
-        every shard and returned replicated, so consecutive batches
-        chain device-to-device exactly like the single-chip path.
+      * outputs stay dp-sharded: per-field bundle rows, the raw
+        picture (defensive decode fallback), and each shard's compacted
+        codec payloads land P('f') — the global dense plane / quotient
+        buffers are the per-shard buffers concatenated, and the host
+        prefix-fetches per shard region using the (2, batch) counts.
+        The chained (next_start0, next_offset0) scalars are computed
+        identically on every shard and returned replicated, so
+        consecutive batches chain device-to-device exactly like the
+        single-chip path.
 
     Returns a jitted fn(capture, start0, audio_offset0, mtf_level,
     valid_len) -> (bundle (batch, words), next_start0, next_offset0,
-    pic (batch, L*W)).
+    pic (batch, L*W), dense planes, dense quotient streams,
+    counts (2, batch)).
     """
     from ld_decode_tpu.tbc import fused as FU
 
@@ -176,19 +181,22 @@ def build_pipeline_batch_sharded(cfg: DecoderConfig, bank: DemodBank,
         offs_used = jax.lax.dynamic_slice(offs_all, (di * lb,), (lb,))
         next_start0 = starts_all[-1] + nfo_all[-1]
 
-        bundle, pic, dense, rows = FU.pipeline_finish(
+        bundle, pic, dense, dense_q, rows2 = FU.pipeline_finish(
             video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
             starts, offs_used, bank, cfg, n_audio1, colorlevel,
             colorphase, pallas)
-        # each shard compacts its own fields' nibble planes; the global
-        # dense buffer is the per-shard buffers concatenated (the host
-        # prefix-fetches per shard region using the row counts)
-        return bundle, next_start0, next_offset0, pic, dense, rows
+        # each shard compacts its own fields' bit planes + quotient
+        # streams; the global dense buffers are the per-shard buffers
+        # concatenated (the host prefix-fetches per shard region using
+        # the counts)
+        return bundle, next_start0, next_offset0, pic, dense, dense_q, \
+            rows2
 
     fn = _shard_map(
         shard_fn, fmesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P('f'), P(), P(), P('f'), P('f'), P('f')))
+        out_specs=(P('f'), P(), P(), P('f'), P('f'), P('f'),
+                   P(None, 'f')))
     return jax.jit(fn), fmesh
 
 

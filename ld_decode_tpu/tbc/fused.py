@@ -108,182 +108,275 @@ def pack_bundle(arrays: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# lossless picture codec: per-block adaptive nibble planes
+# lossless picture codec: per-block bit-granular planes + Rice escape
 #
 # The axon tunnel's D2H link saturates near ~40 MB/s (collapsing to
 # ~1 MB/s in bad weather) and the u16 picture is ~93% of every field
 # bundle, so raw transfer caps end-to-end decode regardless of TPU
 # speed.  The batched pipeline therefore ships the picture losslessly
-# compressed, with a per-16-sample-block adaptive rate so clean content
-# pays for clean content (round 2 shipped a fixed dense 12-bit plane =
-# 0.848x raw even when residuals fit in 4 bits):
+# compressed, the rate adapted per 16-sample block (round-4 design;
+# every choice below was rate-measured on REAL decoded fields with
+# scripts/probe_codec_rate.py — synthetic pictures lie, see PERF.md):
 #
-#   transform  vertical delta against line l-k, then horizontal lag-1
-#              delta of that residual.  k=2 for NTSC (2 lines = 455
-#              subcarrier cycles exactly, so chroma/burst phase matches;
-#              lddecode_core.py:56 linelen 910 = 227.5 cycles x 4) and
-#              k=4 for PAL (4 lines = 1135 cycles exactly, same
-#              V-switch).  The horizontal pass flattens the sub-sample
-#              line-jitter residual at high-slope columns (sync edge,
-#              burst).  Head lines (l<k) carry raw values through the
-#              same horizontal pass.
+#   transform  vertical delta against line l-k.  k=2 for NTSC (2 lines
+#              = 455 subcarrier cycles exactly, so chroma/burst phase
+#              matches; lddecode_core.py:56 linelen 910 = 227.5 cycles
+#              x 4) and k=4 for PAL (4 lines = 1135 cycles).  Head
+#              lines (l<k) carry a horizontal lag-1 delta of their raw
+#              values instead.  (Round 3 ran a horizontal pass after
+#              the vertical one; on real fields the residual is
+#              fsc-band noise, nearly white along the line, and the
+#              h-pass measured +0.015x raw — dropped.  A per-field
+#              learned 15-tap multi-row predictor and a per-column
+#              median profile were prototyped and measured useless:
+#              +0.002x and -0.004x.)
 #   residuals  mod-2^16, zigzag-mapped to 16-bit z; each 16-sample
-#              BLOCK ships only the nibble planes its own max residual
-#              needs (class 0..4; per-LINE classes were measured useless
-#              on real decoded fields — see CODEC_BW above).  Plane
-#              words pack 4 samples/u16; the packed class table rides
-#              the per-field bundle.
-#   compaction the used (field, plane, line, block) units of a whole
-#              batch are gathered into ONE contiguous dense buffer
-#              (2.13 ms per 16-field batch measured at full capacity),
-#              and the host fetches only the USED PREFIX: the transfer
-#              size is the true information content, per batch, no
-#              recompile.  Capacity is the full 4 planes, so the codec
-#              is lossless with zero fallbacks for ALL content; only
-#              bandwidth is content-dependent (measured: real decoded
-#              ramp fields 0.60x raw, synthetic flat fields 0.27x,
-#              white noise 1.0x; round 2's fixed scheme was 0.848x).
+#              BLOCK ships, per its own statistics, either
+#                planes mode: the `b = bits(max z)` low one-bit planes
+#                  (one u16 word per plane: 16 samples x 1 bit), or
+#                rice mode: the k* low planes plus each sample's
+#                  quotient q = z>>k* in unary (q zeros then a 1) on a
+#                  per-field quotient bitstream, k* = argmin of the
+#                  exact cost 16k + sum(q) + 16, used when that beats
+#                  planes mode and fits CODEC_QCAP_BITS.
+#              The 6-bit/block mode+count table rides the per-field
+#              bundle.  (Bit-granular classes beat round 3's nibble
+#              granularity by 0.06x; the Rice escape adds 0.023x; a
+#              per-block min-subtraction escape measured +0.004x and
+#              was dropped.)
+#   compaction the used (field, plane, line, block) plane words of a
+#              whole batch are gathered into ONE contiguous dense
+#              buffer, the per-field quotient streams into a second,
+#              and the host fetches only the USED PREFIX of each: the
+#              transfer is sized by information content, per batch,
+#              with no recompiles.  Plane capacity is all 16 planes, so
+#              the codec is lossless with zero fallbacks for ALL
+#              content; only bandwidth is content-dependent (measured:
+#              real decoded ramp fields 0.52x raw, realistic-noise
+#              fields 0.75x, flat fields 0.02x, white noise 1.02x
+#              worst-case; round 3 shipped 0.60x/0.84x).
 #
 # The raw picture additionally stays device-resident per batch
 # (`pic`), as a defensive fallback if a field's dense region were ever
 # unavailable.
 
-CODEC_BW = 16                     # class-block width in samples; the
-                                  # compaction unit is one block's 4
-                                  # nibble-packed words.  Real decoded
-                                  # fields have ~100 high-residual
-                                  # samples per line clustered in column
-                                  # regions (sync edge, burst, blanking
-                                  # transitions): per-LINE classes get
-                                  # poisoned to 16 bits (measured 1.0x
-                                  # raw = useless there), per-16-sample
-                                  # blocks measure 0.62x on the same
+CODEC_BW = 16                     # block width in samples = bits per
+                                  # plane word.  Real decoded fields
+                                  # have ~100 high-residual samples per
+                                  # line clustered in column regions
+                                  # (sync edge, burst, blanking): per-
+                                  # LINE classes get poisoned to 16
+                                  # bits (measured 1.0x raw), 16-sample
+                                  # blocks measure 0.55x on the same
                                   # fields.
+CODEC_NPLANES = 16                # bit-granular plane classes
+CODEC_QCAP_BITS = 64              # max quotient bits per rice block (at
+                                  # the optimal k, sum(q) <= ~32, so the
+                                  # bound almost never binds; it keeps
+                                  # the stream capacity static at 4
+                                  # words/block)
+
+# cost matrix: sum_i(z_i >> k) = sum_{t>=k} 2^(t-k) * c_t where c_t is
+# the block's count of samples with bit t set — so every Rice cost
+# comes from one tiny constant matmul over the per-block bit counts.
+_RICE_M = np.array([[1 << (t - k) if t >= k else 0 for t in range(16)]
+                    for k in range(16)], np.int32)
 
 
 def pic_codec_params(cfg: DecoderConfig):
-    """(lines, width, padded width, words per class-block, lag)."""
+    """(lines, width, padded width, words per compaction unit, lag)."""
     W = cfg.sys.outlinelen
     Wp = -(-W // CODEC_BW) * CODEC_BW
     L = max_linecount(cfg)
     k = 2 if cfg.system == 'NTSC' else 4
-    return L, W, Wp, CODEC_BW // 4, k
+    return L, W, Wp, 1, k
 
 
 def codec_cap_rows(cfg: DecoderConfig, batch: int) -> int:
-    """Dense-buffer capacity in block units: the full 4 nibble planes of
-    every field — lossless with no overflow path; the host fetches only
+    """Dense plane-buffer capacity in words: all 16 one-bit planes of
+    every block — lossless with no overflow path; the host fetches only
     the used prefix, so capacity costs no bandwidth."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    return 4 * L * (Wp // CODEC_BW) * batch
+    return CODEC_NPLANES * L * (Wp // CODEC_BW) * batch
+
+
+def codec_qcap_words(R: int, NB: int) -> int:
+    """Per-image quotient-stream capacity in u16 words."""
+    return R * NB * (CODEC_QCAP_BITS // 16)
+
+
+def _codec_residual(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(R, C) int image -> (R, C) zigzagged mod-2^16 residual."""
+    x = x.astype(jnp.int32)
+    head = jnp.concatenate([x[:k, :1], x[:k, 1:] - x[:k, :-1]], axis=1)
+    r = jnp.concatenate([head, x[k:] - x[:-k]], axis=0)
+    ds = ((r + 0x8000) & 0xFFFF) - 0x8000
+    return ((ds << 1) ^ (ds >> 15)) & 0xFFFF
 
 
 def encode_image_planes(x: jnp.ndarray, k: int):
-    """Adaptive-plane encode of any (R, C) u16/int image
-    (C % CODEC_BW == 0): vertical lag-k delta, horizontal lag-1 delta,
-    zigzag, per-BLOCK (CODEC_BW samples) nibble-plane classes.  Returns
-    ((4, R, NB, BW//4) u16 plane words, (R, NB) i32 block classes).
-    Also used for the comb's RGB48 output (k=1, planar)."""
+    """Codec encode of one (R, C) u16/int image (C % CODEC_BW == 0).
+
+    Returns (planes (16, R, NB) u16 one-bit-plane words,
+    tab (R, NB) i32 6-bit table values `nwords | mode<<5`,
+    qstream (codec_qcap_words,) u16 unary quotient bitstream,
+    qwords () i32 used stream words).  Also used for the comb's RGB48
+    output (k=1, planar)."""
     R, C = x.shape
     NB = C // CODEC_BW
-    x = x.astype(jnp.int32)
-    r = jnp.concatenate([x[:k], x[k:] - x[:-k]], axis=0)
-    d = jnp.concatenate([r[:, :1], r[:, 1:] - r[:, :-1]], axis=1)
-    ds = ((d + 0x8000) & 0xFFFF) - 0x8000          # residual mod 2^16, signed
-    z = ((ds << 1) ^ (ds >> 15)) & 0xFFFF          # zigzag
+    z = _codec_residual(x, k)
     zb = z.reshape(R, NB, CODEC_BW)
     mx = jnp.max(zb, axis=2)
-    bcls = ((mx > 0).astype(jnp.int32) + (mx >= 16).astype(jnp.int32)
-            + (mx >= 256).astype(jnp.int32) + (mx >= 4096).astype(jnp.int32))
-    zg = zb.reshape(R, NB, CODEC_BW // 4, 4)
+
     planes = []
-    for p in range(4):
-        nib = (zg >> (4 * p)) & 0xF
-        planes.append((nib[..., 0] | (nib[..., 1] << 4) | (nib[..., 2] << 8)
-                       | (nib[..., 3] << 12)).astype(jnp.uint16))
-    return jnp.stack(planes), bcls
+    counts = []
+    w_pack = (1 << jnp.arange(CODEC_BW, dtype=jnp.int32))[None, None, :]
+    for p in range(CODEC_NPLANES):
+        bp = (zb >> p) & 1
+        planes.append(jnp.sum(bp * w_pack, axis=2).astype(jnp.uint16))
+        counts.append(jnp.sum(bp, axis=2))
+    planes = jnp.stack(planes)                     # (16, R, NB)
+    c = jnp.stack(counts, axis=-1)                 # (R, NB, 16)
+
+    nb = jnp.sum(mx[..., None] >= (1 << jnp.arange(16)), axis=-1
+                 ).astype(jnp.int32)               # bits(max z): 0..16
+    # rice costs for every k at once: 16k + 16 + sum_t 2^(t-k) c_t
+    costs = (CODEC_BW * jnp.arange(16, dtype=jnp.int32)[:, None, None]
+             + CODEC_BW
+             + jnp.einsum('kt,rnt->krn', jnp.asarray(_RICE_M), c))
+    kbest = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    cmin = jnp.min(costs, axis=0)
+    qb = cmin - CODEC_BW * kbest                   # sum(q) + 16
+    elig = (cmin < CODEC_BW * nb) & (qb <= CODEC_QCAP_BITS)
+    nwords = jnp.where(elig, kbest, nb)
+    tab = nwords | (elig.astype(jnp.int32) << 5)
+
+    # per-field unary quotient stream: sample i (row-major) emits
+    # q_i zeros then a stop 1; only the stop bits are scattered
+    kb_s = jnp.repeat(kbest.reshape(-1), CODEC_BW)
+    el_s = jnp.repeat(elig.reshape(-1), CODEC_BW)
+    qlen = jnp.where(el_s, (z.reshape(-1) >> kb_s) + 1, 0)
+    cum = jnp.cumsum(qlen)
+    pos = jnp.maximum(cum - 1, 0)
+    qcap = codec_qcap_words(R, NB)
+    qstream = jnp.zeros(qcap, jnp.int32).at[pos >> 4].add(
+        el_s.astype(jnp.int32) << (pos & 15), mode='drop')
+    qstream = (qstream & 0xFFFF).astype(jnp.uint16)
+    qwords = ((cum[-1] + 15) >> 4).astype(jnp.int32)
+    return planes, tab, qstream, qwords
 
 
-def pack_bcls(bcls: jnp.ndarray) -> jnp.ndarray:
-    """(R, NB) classes 0..4 -> flat u16 words, 4 classes x 4 bits each
-    (count padded to a multiple of 4)."""
-    flat = bcls.reshape(-1)
-    n4 = -(-flat.shape[0] // 4) * 4
-    g = jnp.pad(flat, (0, n4 - flat.shape[0])).reshape(-1, 4)
-    return (g[:, 0] | (g[:, 1] << 4) | (g[:, 2] << 8) | (g[:, 3] << 12)
-            ).astype(jnp.uint16)
+def pack_tab(tab: jnp.ndarray) -> jnp.ndarray:
+    """(R, NB) 6-bit table values -> flat u16 words (little-endian 6-bit
+    fields, values straddling word boundaries)."""
+    flat = tab.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    nw = tab_words(n)
+    off = 6 * jnp.arange(n, dtype=jnp.int32)
+    w, sh = off >> 4, off & 15
+    out = jnp.zeros(nw + 1, jnp.int32)
+    out = out.at[w].add((flat << sh) & 0xFFFF)
+    out = out.at[w + 1].add(flat >> (16 - sh))
+    return (out[:nw] & 0xFFFF).astype(jnp.uint16)
 
 
-def unpack_bcls(words: np.ndarray, R: int, NB: int) -> np.ndarray:
-    w = np.asarray(words).astype(np.int64)
-    g = np.stack([w & 0xF, (w >> 4) & 0xF, (w >> 8) & 0xF, w >> 12],
-                 axis=1).reshape(-1)
-    return g[:R * NB].reshape(R, NB)
+def unpack_tab(words: np.ndarray, R: int, NB: int) -> np.ndarray:
+    """Host inverse of pack_tab -> (R, NB) int table values."""
+    bits = np.unpackbits(np.ascontiguousarray(
+        np.asarray(words).astype('<u2')).view(np.uint8),
+        bitorder='little')
+    v = bits[:R * NB * 6].reshape(-1, 6).astype(np.int64)
+    return (v << np.arange(6)).sum(axis=1).reshape(R, NB)
+
+
+def tab_words(nblocks: int) -> int:
+    return -(-(nblocks * 6) // 16)
 
 
 def bcls_words(R: int, NB: int) -> int:
-    return -(-(R * NB) // 4)
+    """Packed table words for an (R, NB) block grid (bundle layout)."""
+    return tab_words(R * NB)
 
 
-def decode_image_planes(bcls: np.ndarray, dense_words: np.ndarray,
-                        shape, k: int) -> np.ndarray:
+def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
+                        qstream: np.ndarray, shape, k: int) -> np.ndarray:
     """Invert encode_image_planes for one image from its contiguous
-    dense region (host).  bcls: (R, NB) block classes."""
+    dense plane region + quotient stream (host).  tab: (R, NB) 6-bit
+    table values (see unpack_tab)."""
     R, C = shape
     NB = C // CODEC_BW
-    W4 = CODEC_BW // 4
+    tab = np.asarray(tab).astype(np.int64)
+    nwords = (tab & 0x1F).reshape(-1)
+    mode = ((tab >> 5) & 1).reshape(-1).astype(bool)
     z = np.zeros((R * NB, CODEC_BW), np.int64)
     dw = np.asarray(dense_words).astype(np.int64)
-    bf = np.asarray(bcls).reshape(-1)
     pos = 0
-    for p in range(4):
-        blocks = np.nonzero(bf > p)[0]
+    sample_sh = np.arange(CODEC_BW)
+    for p in range(CODEC_NPLANES):
+        blocks = np.nonzero(nwords > p)[0]
         cnt = len(blocks)
         if not cnt:
             continue
-        w = dw[pos * W4:(pos + cnt) * W4].reshape(cnt, W4)
+        w = dw[pos:pos + cnt]
         pos += cnt
-        nib = np.stack([w & 0xF, (w >> 4) & 0xF, (w >> 8) & 0xF, w >> 12],
-                       axis=2).reshape(cnt, CODEC_BW)
-        z[blocks] |= nib << (4 * p)
+        z[blocks] |= ((w[:, None] >> sample_sh) & 1) << p
+    if mode.any():
+        bits = np.unpackbits(np.ascontiguousarray(
+            np.asarray(qstream).astype('<u2')).view(np.uint8),
+            bitorder='little')
+        nsamp = int(mode.sum()) * CODEC_BW
+        ones = np.nonzero(bits)[0][:nsamp]
+        q = np.diff(np.concatenate([[-1], ones])) - 1
+        z[mode] += q.reshape(-1, CODEC_BW) << nwords[mode, None]
     z = z.reshape(R, C)
     d = ((z >> 1) ^ -(z & 1))                      # un-zigzag
-    r = np.cumsum(d, axis=1)                        # undo horizontal lag-1
-    x = np.empty_like(r)
-    for c in range(k):                              # vertical chains
-        x[c::k] = np.cumsum(r[c::k], axis=0)
+    x = np.zeros((R, C), np.int64)
+    x[:k] = np.cumsum(d[:k], axis=1)               # head rows: h-delta
+    for c in range(k):                             # vertical chains
+        x[c::k] = np.cumsum(
+            np.concatenate([x[c:c + 1], d[c + k::k]]), axis=0)
     return (x & 0xFFFF).astype(np.uint16)
 
 
 def encode_picture_planes(pic: jnp.ndarray, cfg: DecoderConfig):
-    """(L*W,) u16 picture -> ((4, L, NB, W4) u16 nibble-plane words,
-    (L, NB) i32 block classes)."""
+    """(L*W,) u16 picture -> encode_image_planes outputs for the padded
+    (L, Wp) image."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
     x = pic.reshape(L, W)
     x = jnp.pad(x.astype(jnp.int32), ((0, 0), (0, Wp - W)), mode='edge')
     return encode_image_planes(x, k)
 
 
-def compact_planes(planes: jnp.ndarray, bcls: jnp.ndarray, cap: int):
-    """planes (B, 4, R, NB, W4) u16 + bcls (B, R, NB) -> (dense
-    (cap*W4,) u16, rows (B,) i32).  Used block units land contiguously
-    in (field, plane, line, block) order; rows[b] = sum(bcls[b]) is
-    field b's unit count."""
-    W4 = planes.shape[-1]
-    mask = bcls[:, None, :, :] > jnp.arange(4)[None, :, None, None]
-    rows = jnp.sum(bcls, axis=(1, 2)).astype(jnp.int32)
-    src = planes.reshape(-1, W4)
+def compact_planes(planes: jnp.ndarray, tab: jnp.ndarray, cap: int):
+    """planes (B, 16, R, NB) u16 + tab (B, R, NB) -> (dense (cap,) u16,
+    rows (B,) i32).  Used plane words land contiguously in (image,
+    plane, line, block) order; rows[b] = sum(nwords[b]) is image b's
+    word count."""
+    nwords = tab & 0x1F
+    mask = nwords[:, None, :, :] > jnp.arange(
+        CODEC_NPLANES, dtype=jnp.int32)[None, :, None, None]
+    rows = jnp.sum(nwords, axis=(1, 2)).astype(jnp.int32)
+    src = planes.reshape(-1)
     idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
-    return jnp.take(src, idx, axis=0).reshape(-1), rows
+    return jnp.take(src, idx), rows
 
 
-def decode_picture_planes(bcls: np.ndarray, dense_words: np.ndarray,
+def compact_qstreams(qstreams: jnp.ndarray, qwords: jnp.ndarray, cap: int):
+    """qstreams (B, qcap) u16 + qwords (B,) i32 -> (dense (cap,) u16,
+    qwords).  Each image's used stream prefix lands contiguously."""
+    mask = jnp.arange(qstreams.shape[1])[None, :] < qwords[:, None]
+    idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
+    return jnp.take(qstreams.reshape(-1), idx), qwords
+
+
+def decode_picture_planes(tab: np.ndarray, dense_words: np.ndarray,
+                          qstream: np.ndarray,
                           cfg: DecoderConfig) -> np.ndarray:
-    """Invert encode_picture_planes+compaction for ONE field: bcls
-    (L, NB) (or its packed-word form via unpack_bcls at the caller) and
-    that field's contiguous dense region (rows*W4 u16 words)."""
+    """Invert encode_picture_planes+compaction for ONE field: tab
+    (L, NB) values (via unpack_tab at the caller), the field's
+    contiguous dense plane region and its quotient stream."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    x = decode_image_planes(bcls, dense_words, (L, Wp), k)
+    x = decode_image_planes(tab, dense_words, qstream, (L, Wp), k)
     return x[:, :W].reshape(-1)
 
 
@@ -854,15 +947,15 @@ def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     """Like finish_bundle_spec but with the Philips codes sliced
     on-device (nibbles instead of raw line windows) and the picture
     shipped separately (per-block adaptive codec: only the packed
-    block-class table rides the bundle; the dense nibble planes go out
-    as one batch-level prefix-fetched buffer), plus per-field meta
-    (valid/istop/lc/nfo/npeaks/nvsyncs/readsample int32 words, then the
-    audio offset this field consumed)."""
+    6-bit mode+count table rides the bundle; the dense bit planes and
+    the quotient streams go out as batch-level prefix-fetched buffers),
+    plus per-field meta (valid/istop/lc/nfo/npeaks/nvsyncs/readsample
+    int32 words, then the audio offset this field consumed)."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
     nlines = max_nlines(cfg)
     ncl = len(cfg.sys.philips_codelines)
     return BundleSpec([
-        ('pic_wcls', (bcls_words(L, Wp // CODEC_BW),), np.uint16),
+        ('pic_tab', (bcls_words(L, Wp // CODEC_BW),), np.uint16),
         ('audio', (audio_maxt(cfg) * 2,), np.int16),
         ('linelocs_i', (nlines,), np.int32),
         ('linelocs_f', (nlines,), np.float32),
@@ -955,10 +1048,10 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     """Refinement + outputs + picture codec + per-field meta for a batch
     (same stages as field_finish_batch).  Returns per-field bundle rows
     (batch, words), the raw device-resident picture (defensive
-    fallback), and the compacted dense nibble planes + per-field row
-    counts (the adaptive picture codec's prefix-fetched payload).
-    Per-field like `pipeline_analyze`, so it shards over the batch
-    (each shard compacts its own fields)."""
+    fallback), and the compacted dense bit planes / quotient streams +
+    per-field counts (2, batch) — the adaptive picture codec's
+    prefix-fetched payloads.  Per-field like `pipeline_analyze`, so it
+    shards over the batch (each shard compacts its own fields)."""
     lli, llf, burstlevel = _refine_batch(video, lld.lli, lld.llf,
                                          lld.bad, lc, cfg, colorphase,
                                          pallas)
@@ -980,18 +1073,23 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                                 offs_used, burstlevel)
 
-    planes, bcls = jax.vmap(lambda p: encode_picture_planes(p, cfg))(pic)
-    dense, rows = compact_planes(planes, bcls,
+    planes, tab, qstreams, qwords = jax.vmap(
+        lambda p: encode_picture_planes(p, cfg))(pic)
+    dense, rows = compact_planes(planes, tab,
                                  codec_cap_rows(cfg, starts.shape[0]))
+    L, W, Wp, W4, k = pic_codec_params(cfg)
+    qcap = codec_qcap_words(L, Wp // CODEC_BW) * starts.shape[0]
+    dense_q, qw = compact_qstreams(qstreams, qwords, qcap)
+    rows2 = jnp.stack([rows, qw])
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
                         lc, nfo, nv, vs_count, starts], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
-    bundle = jnp.concatenate([jax.vmap(pack_bcls)(bcls),
+    bundle = jnp.concatenate([jax.vmap(pack_tab)(tab),
                               rest.reshape(starts.shape[0], -1), meta],
                              axis=1)
-    return bundle, pic, dense, rows
+    return bundle, pic, dense, dense_q, rows2
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
@@ -1028,19 +1126,19 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
     offs_used, next_offset0 = _audio_offset_chain(audio_offset0, lc, cfg)
     next_start0 = starts[-1] + nfo[-1]
 
-    bundle, pic, dense, rows = pipeline_finish(
+    bundle, pic, dense, dense_q, rows2 = pipeline_finish(
         video, audio1, lld, lc, valid, istop, nfo, nv, vs_count, starts,
         offs_used, bank, cfg, n_audio1, colorlevel, colorphase, pallas)
-    # The bundle (linelocs/audio/meta/width classes) ships in a couple
+    # The bundle (linelocs/audio/meta/block tables) ships in a couple
     # of eagerly-fetched chunks; the picture ships as the compacted
-    # dense nibble-plane buffer, of which the prefetcher fetches only
-    # the used prefix (rows tells it how much) in ~256 KB concurrent
-    # streams — the tunnel D2H link is the throughput wall and the
-    # transfer is now sized by information content, not by worst case.
-    # The raw picture stays device-resident (`pic`) as a defensive
-    # fallback.
+    # dense bit-plane buffer + quotient streams, of which the
+    # prefetcher fetches only the used prefixes (rows2 tells it how
+    # much) in ~256 KB concurrent streams — the tunnel D2H link is the
+    # throughput wall and the transfer is now sized by information
+    # content, not by worst case.  The raw picture stays
+    # device-resident (`pic`) as a defensive fallback.
     nchunks = max(1, min(2, batch // 4))
     per = -(-batch // nchunks)
     chunks = tuple(bundle[i * per:(i + 1) * per].reshape(-1)
                    for i in range(nchunks))
-    return chunks, next_start0, next_offset0, pic, dense, rows
+    return chunks, next_start0, next_offset0, pic, dense, dense_q, rows2

@@ -85,7 +85,8 @@ class FieldPrefetcher:
         # in-flight dispatched batches: [chunk_fetch_futures, next_start0_dev,
         # next_offset0_dev, mtf]
         self._flight: deque = deque()
-        self._rows_ema = None          # EMA of used dense rows per batch
+        self._rows_ema = None          # EMA of used plane words per batch
+        self._qw_ema = None            # EMA of used quotient words
         # device-scalar caches: through the congested tunnel each eager
         # host->device put on the dispatch thread costs a full round
         # trip (30-450 ms); valid_len/mtf change rarely, so convert once
@@ -120,6 +121,7 @@ class FieldPrefetcher:
         self.queue.clear()
         self._clear_flight()
         self._rows_ema = None
+        self._qw_ema = None
 
     def set_capture(self, capture_dev, base: int, valid_len: int = None):
         """Swap in a new resident segment (absolute file offset `base`).
@@ -160,7 +162,8 @@ class FieldPrefetcher:
             self._vlen_dev = jnp.int32(self.valid_len)
         if self._mtf_dev[0] != mtf_level:
             self._mtf_dev = (mtf_level, jnp.float32(mtf_level))
-        chunks, nso, noo, raw_pic, dense, rows = FU.field_pipeline_batch(
+        (chunks, nso, noo, raw_pic, dense, dense_q,
+         rows2) = FU.field_pipeline_batch(
             self.capture, start0, offset0, self._mtf_dev[1],
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
@@ -170,27 +173,30 @@ class FieldPrefetcher:
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
         # host consumes it — the D2H link stays saturated.  The picture's
-        # dense nibble planes are prefix-fetched: a tiny row-count vector
-        # comes over first, then only the used words (clean content
-        # ships ~0.60x the raw picture bytes).  raw_pic stays on device
-        # as a defensive fallback.
+        # dense bit planes + quotient streams are prefix-fetched: a tiny
+        # count vector comes over first, then only the used words (clean
+        # content ships ~0.52x the raw picture bytes).  raw_pic stays on
+        # device as a defensive fallback.
         ex = self._exec()
         futs = [ex.submit(np.asarray, c) for c in chunks]
-        fut_rows = ex.submit(np.asarray, rows)
-        # speculative prefix: slice+fetch an EMA-sized prefix NOW, so the
-        # device slice lands right behind this batch's compute and the
-        # transfer needs no host round trip for the row counts (those
-        # only gate the rare top-up when the estimate undershoots)
-        spec = None
+        fut_rows = ex.submit(np.asarray, rows2)
+        # speculative prefixes: slice+fetch EMA-sized prefixes NOW, so
+        # the device slices land right behind this batch's compute and
+        # the transfers need no host round trip for the counts (those
+        # only gate the rare top-up when an estimate undershoots)
+        spec = spec_q = None
         if self._rows_ema is not None:
-            L, W, Wp, W4, k = FU.pic_codec_params(self.decoder.cfg)
             cap = FU.codec_cap_rows(self.decoder.cfg, self.batch)
-            n_est = min(cap, int(self._rows_ema * 1.25)) * W4
+            n_est = min(cap, int(self._rows_ema * 1.25))
             spec = (n_est, self._chunk_fetch(dense, n_est))
-        fut_dense = ex.submit(self._fetch_dense, dense, fut_rows, spec)
+            n_est_q = min(dense_q.shape[0], int(self._qw_ema * 1.25))
+            spec_q = (n_est_q, self._chunk_fetch(dense_q, n_est_q))
+        fut_dense = ex.submit(self._fetch_dense, dense, dense_q, fut_rows,
+                              spec, spec_q)
         self._flight.append([futs, nso, noo, mtf_level, raw_pic,
                              fut_rows, fut_dense,
-                             spec[1] if spec else []])
+                             (spec[1] if spec else [])
+                             + (spec_q[1] if spec_q else [])])
         self.stats['batches'] += 1
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
@@ -213,18 +219,9 @@ class FieldPrefetcher:
 
         return [ex.submit(pull, i) for i in range(nchunk)]
 
-    def _fetch_dense(self, dense, fut_rows, spec):
-        """Assemble the used prefix of the dense plane buffer.  Runs on
-        an executor worker; blocks on the row counts (a few bytes,
-        available the moment the batch finishes), reuses the speculative
-        prefix fetch and tops up only on underestimate."""
-        L, W, Wp, W4, k = FU.pic_codec_params(self.decoder.cfg)
-        rows = fut_rows.result()
-        total = int(min(rows.sum(), FU.codec_cap_rows(self.decoder.cfg,
-                                                      self.batch)))
-        self._rows_ema = total if self._rows_ema is None else \
-            0.5 * self._rows_ema + 0.5 * total
-        n = total * W4
+    def _fetch_prefix(self, dense, n, spec):
+        """Assemble dense[:n], reusing a speculative prefix fetch and
+        topping up only on underestimate."""
         if n == 0:
             return np.zeros(0, np.uint16)
         if spec is None:
@@ -237,6 +234,25 @@ class FieldPrefetcher:
                       for f in self._chunk_fetch(dense, n - n_est, n_est)]
         return np.concatenate(parts)[:n] if parts else \
             np.zeros(0, np.uint16)
+
+    def _fetch_dense(self, dense, dense_q, fut_rows, spec, spec_q):
+        """Assemble the used prefixes of the dense plane buffer and the
+        quotient-stream buffer.  Runs on an executor worker; blocks on
+        the count vector (a few bytes, available the moment the batch
+        finishes)."""
+        rows2 = fut_rows.result()
+        total = int(min(rows2[0].sum(),
+                        FU.codec_cap_rows(self.decoder.cfg, self.batch)))
+        totq = int(min(rows2[1].sum(), dense_q.shape[0]))
+        # written by this dense-fetch worker, read on the dispatch
+        # thread: a stale/odd-interleaved EMA only mis-sizes the next
+        # speculative prefix (top-up covers undershoot) — benign race
+        self._rows_ema = total if self._rows_ema is None else \
+            0.5 * self._rows_ema + 0.5 * total
+        self._qw_ema = totq if self._qw_ema is None else \
+            0.5 * self._qw_ema + 0.5 * totq
+        return (self._fetch_prefix(dense, total, spec),
+                self._fetch_prefix(dense_q, totq, spec_q))
 
     def _dense_exec(self):
         if getattr(self, '_dense_ex', None) is None:
@@ -262,9 +278,11 @@ class FieldPrefetcher:
         t0 = _time.perf_counter()
         buf = np.concatenate([f.result() for f in futs]
                              ).reshape(self.batch, -1)
-        rows = fut_rows.result().astype(np.int64)
-        dense = fut_dense.result()
+        rows2 = fut_rows.result().astype(np.int64)
+        rows, qws = rows2[0], rows2[1]
+        dense, dense_q = fut_dense.result()
         offs = np.concatenate([[0], np.cumsum(rows)])
+        offs_q = np.concatenate([[0], np.cumsum(qws)])
         t1 = _time.perf_counter()
 
         spec = FU.pipeline_bundle_spec(cfg)
@@ -298,14 +316,17 @@ class FieldPrefetcher:
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
                 readsample=rs_abs)
-            bcls = FU.unpack_bcls(data['pic_wcls'], L_codec, NB_codec)
-            if offs[b + 1] * W4 <= dense.shape[0] \
-                    and int(bcls.sum()) == rows[b]:
+            tab = FU.unpack_tab(data['pic_tab'], L_codec, NB_codec)
+            if offs[b + 1] <= dense.shape[0] \
+                    and offs_q[b + 1] <= dense_q.shape[0] \
+                    and int((tab & 0x1F).sum()) == rows[b]:
                 pic = FU.decode_picture_planes(
-                    bcls, dense[offs[b] * W4:offs[b + 1] * W4], cfg)
+                    tab, dense[offs[b]:offs[b + 1]],
+                    dense_q[offs_q[b]:offs_q[b + 1]], cfg)
             else:
-                # defensive only (capacity covers all 4 planes, so this
-                # cannot trigger from content): pull the raw picture
+                # defensive only (capacity covers all 16 planes, so
+                # this cannot trigger from content): pull the raw
+                # picture
                 self.stats['pic_raw_fallback'] += 1
                 pic = np.asarray(raw_pic[b])
             r.dspicture = pic[:lc * W]

@@ -98,11 +98,13 @@ def probe_farneback():
     R1 = pe(b)
     bscale = jnp.asarray(OF._border_scale(H, W))
 
-    upd = jax.jit(lambda r0, r1, f: OF._update_matrices(r0, r1, f, bscale))
-    timed('update_matrices (incl. bilinear warp gather)', upd, R0, R1, f0,
+    R1q = jax.jit(OF._quad_expand)(R1)
+    upd = jax.jit(lambda r0, r1q, f: OF._update_matrices(r0, r1q, f,
+                                                         bscale))
+    timed('update_matrices (quad-take bilinear warp)', upd, R0, R1q, f0,
           n=20)
 
-    M = upd(R0, R1, f0)
+    M = upd(R0, R1q, f0)
     blur = jax.jit(lambda m: OF._box_blur(m, 60))
     timed('box_blur win60 5ch', blur, M, n=20)
 

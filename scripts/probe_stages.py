@@ -84,11 +84,15 @@ def make_stage(depth):
                                     offs_used, bl)
         if depth == 3:                     # + scale/audio/VBI outputs
             return pic[:, :4].astype(jnp.float32)
-        planes, wcls = jax.vmap(
+        planes, tab, qstreams, qwords = jax.vmap(
             lambda p: FU.encode_picture_planes(p, cfg))(pic)
-        dense, rows = FU.compact_planes(planes, wcls,
+        dense, rows = FU.compact_planes(planes, tab,
                                         FU.codec_cap_rows(cfg, BATCH))
-        return rows.astype(jnp.float32)    # + codec
+        L_, _, Wp_, _, _ = FU.pic_codec_params(cfg)
+        dq, qw = FU.compact_qstreams(
+            qstreams, qwords,
+            FU.codec_qcap_words(L_, Wp_ // FU.CODEC_BW) * BATCH)
+        return (rows + qw).astype(jnp.float32)    # + codec
     return fn
 
 

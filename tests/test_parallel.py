@@ -121,14 +121,14 @@ def test_sharded_pipeline_matches_single():
     mtf = jnp.float32(1.0)
     vlen = jnp.int32(capture.shape[0])
 
-    chunks, nso, noo, pic, dense1, rows1 = FU.field_pipeline_batch(
+    chunks, nso, noo, pic, dense1, dq1, rows1 = FU.field_pipeline_batch(
         capture, start0, off0, mtf, bank, cfg, nblocks, n_audio1,
         batch, field_pitch, valid_len=vlen)
     ref = np.concatenate([np.asarray(c) for c in chunks]).reshape(batch, -1)
 
     step, fmesh = M.build_pipeline_batch_sharded(
         cfg, bank, M.make_mesh(8), nblocks, n_audio1, batch, field_pitch)
-    bundle, nso_s, noo_s, pic_s, dense_s, rows_s = step(
+    bundle, nso_s, noo_s, pic_s, dense_s, dq_s, rows_s = step(
         capture, start0, off0, mtf, vlen)
     got = np.asarray(bundle)
 
@@ -154,19 +154,25 @@ def test_sharded_pipeline_matches_single():
     np.testing.assert_array_equal(np.asarray(rows_s), np.asarray(rows1))
     rows_np = np.asarray(rows1).astype(np.int64)
     L_c, _, Wp_c, W4, _ = FU.pic_codec_params(cfg)
+    NB_c = Wp_c // FU.CODEC_BW
     lb = batch // 8
     cap_l = FU.codec_cap_rows(cfg, lb)
+    qcap_l = FU.codec_qcap_words(L_c, NB_c) * lb
     d_s, d_1 = np.asarray(dense_s), np.asarray(dense1)
-    off1 = np.concatenate([[0], np.cumsum(rows_np)])
+    dq_sn, dq_1 = np.asarray(dq_s), np.asarray(dq1)
+    off1 = np.concatenate([[0], np.cumsum(rows_np[0])])
+    offq1 = np.concatenate([[0], np.cumsum(rows_np[1])])
     for b in range(batch):
         sh, li = b // lb, b % lb
-        o_sh = sh * cap_l * W4 + int(rows_np[sh * lb:sh * lb + li].sum()) * W4
-        bcls = FU.unpack_bcls(spec.unpack(got[b])['pic_wcls'],
-                              L_c, Wp_c // FU.CODEC_BW)
+        o_sh = sh * cap_l + int(rows_np[0, sh * lb:sh * lb + li].sum())
+        oq_sh = sh * qcap_l + int(rows_np[1, sh * lb:sh * lb + li].sum())
+        tab = FU.unpack_tab(spec.unpack(got[b])['pic_tab'], L_c, NB_c)
         p_sh = FU.decode_picture_planes(
-            bcls, d_s[o_sh:o_sh + rows_np[b] * W4], cfg)
+            tab, d_s[o_sh:o_sh + rows_np[0, b]],
+            dq_sn[oq_sh:oq_sh + rows_np[1, b]], cfg)
         p_1 = FU.decode_picture_planes(
-            bcls, d_1[off1[b] * W4:off1[b + 1] * W4], cfg)
+            tab, d_1[off1[b]:off1[b + 1]], dq_1[offq1[b]:offq1[b + 1]],
+            cfg)
         np.testing.assert_array_equal(p_sh, p_1)
         np.testing.assert_array_equal(p_sh, np.asarray(pic[b]))
 

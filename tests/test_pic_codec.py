@@ -1,10 +1,12 @@
 """Lossless picture codec round trips (fused.encode_picture_planes /
-compact_planes / decode_picture_planes): the batched pipeline ships the
-u16 TBC picture compressed because the tunnel's D2H link is the
-end-to-end throughput wall (~93% of each field bundle is picture).  The
-codec is per-16-sample-block adaptive: each block ships only the nibble
-planes its own max residual needs, and the host fetches only the used
-prefix of the batch-compacted dense buffer."""
+compact_planes / compact_qstreams / decode_picture_planes): the batched
+pipeline ships the u16 TBC picture compressed because the tunnel's D2H
+link is the end-to-end throughput wall (~93% of each field bundle is
+picture).  The round-4 codec is per-16-sample-block adaptive with
+bit-granular plane classes and a per-block Rice escape: each block
+ships either the bits(max residual) one-bit planes or, when cheaper,
+k* low planes plus unary quotients on a per-field bitstream; the host
+fetches only the used prefixes of the batch-compacted buffers."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -16,22 +18,33 @@ from ld_decode_tpu.utils.params import DecoderConfig
 
 def _roundtrip_batch(pics, cfg):
     """pics: (B, L*W) u16.  Encode+compact+decode every field; returns
-    (decoded list, rows array, dense words used)."""
+    (decoded list, rows2 (2, B), total shipped u16 words incl. table)."""
     import jax
     B = pics.shape[0]
-    planes, wcls = jax.vmap(
+    L, W, Wp, W4, k = FU.pic_codec_params(cfg)
+    NB = Wp // FU.CODEC_BW
+    planes, tab, qstreams, qwords = jax.vmap(
         lambda p: FU.encode_picture_planes(p, cfg))(jnp.asarray(pics))
-    dense, rows = FU.compact_planes(planes, wcls,
+    dense, rows = FU.compact_planes(planes, tab,
                                     FU.codec_cap_rows(cfg, B))
+    dq, qw = FU.compact_qstreams(qstreams, qwords,
+                                 FU.codec_qcap_words(L, NB) * B)
     dense = np.asarray(dense)
+    dq = np.asarray(dq)
     rows = np.asarray(rows).astype(np.int64)
-    W4 = FU.pic_codec_params(cfg)[3]
+    qw = np.asarray(qw).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(rows)])
-    out = [FU.decode_picture_planes(np.asarray(wcls[b]),
-                                    dense[offs[b] * W4:offs[b + 1] * W4],
-                                    cfg)
-           for b in range(B)]
-    return out, rows, int(rows.sum()) * W4
+    offs_q = np.concatenate([[0], np.cumsum(qw)])
+    out = []
+    for b in range(B):
+        # through the packed-table wire format, like the pipeline
+        tab_b = FU.unpack_tab(np.asarray(FU.pack_tab(tab[b])), L, NB)
+        np.testing.assert_array_equal(tab_b, np.asarray(tab[b]))
+        out.append(FU.decode_picture_planes(
+            tab_b, dense[offs[b]:offs[b + 1]],
+            dq[offs_q[b]:offs_q[b + 1]], cfg))
+    used = int(rows.sum() + qw.sum()) + B * FU.bcls_words(L, NB)
+    return out, np.stack([rows, qw]), used
 
 
 @pytest.mark.parametrize('system', ['NTSC', 'PAL'])
@@ -51,47 +64,48 @@ def test_codec_roundtrip_synthetic_field(system):
     pic[: k] += 17                            # head lines differ slightly
     pic = (pic & 0xFFFF).astype(np.uint16).reshape(-1)
 
-    got, rows, used_words = _roundtrip_batch(pic[None], cfg)
+    got, rows2, used_words = _roundtrip_batch(pic[None], cfg)
     np.testing.assert_array_equal(got[0], pic)
-    # static content: everything beyond the k raw head lines is a
-    # zero-residual or 1-nibble line
-    assert used_words * 2 < 0.35 * pic.nbytes
+    # static content: everything beyond the k head lines is zero-residual
+    assert used_words * 2 < 0.10 * pic.nbytes
 
 
 @pytest.mark.parametrize('system', ['NTSC', 'PAL'])
 def test_codec_roundtrip_moderate_noise(system):
     """Per-line varying content with moderate noise round-trips exactly
-    and lands near the 12-bit-block rate (a 16-sample block's max of
-    +-80-count noise usually zigzags past 256) — below the old fixed
-    codec's 0.848x."""
+    and beats the nibble-granular round-3 rate (a +-40-count residual
+    needs ~8 bits; nibble classes paid 12)."""
     cfg = DecoderConfig(system=system, freq_mhz=40.0)
     L, W, Wp, W4, k = FU.pic_codec_params(cfg)
     rng = np.random.default_rng(5)
     base = 0x4000 + rng.integers(-40, 40, (L, W))
     base[:, :60] = 0x0400
     pic = (base & 0xFFFF).astype(np.uint16).reshape(-1)
-    got, rows, used_words = _roundtrip_batch(pic[None], cfg)
+    got, rows2, used_words = _roundtrip_batch(pic[None], cfg)
     np.testing.assert_array_equal(got[0], pic)
-    assert used_words * 2 < 0.75 * pic.nbytes
+    assert used_words * 2 < 0.62 * pic.nbytes
 
 
 def test_codec_white_noise_stays_lossless():
     """Full-range random content: the adaptive codec has no overflow
-    path — every line just ships all 4 planes (1.0x raw) and the
-    round trip stays exact."""
+    path — every block just ships all 16 planes (~1.02x raw with the
+    table) and the round trip stays exact."""
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     L, W, Wp, W4, k = FU.pic_codec_params(cfg)
     rng = np.random.default_rng(6)
     pic = rng.integers(0, 65536, L * W).astype(np.uint16)
-    got, rows, used_words = _roundtrip_batch(pic[None], cfg)
+    got, rows2, used_words = _roundtrip_batch(pic[None], cfg)
     np.testing.assert_array_equal(got[0], pic)
-    assert rows[0] == 4 * L * (Wp // FU.CODEC_BW)   # all planes, all blocks
+    # near-capacity: ~all blocks ship ~16 planes (an occasional block
+    # squeezes a word via the rice escape), total <= ~1.03x raw
+    assert rows2[0, 0] > 0.99 * FU.CODEC_NPLANES * L * (Wp // FU.CODEC_BW)
+    assert used_words * 2 < 1.04 * pic.nbytes
 
 
 def test_codec_batch_mixed_content():
     """A batch mixing clean, noisy, and white-noise fields: each field's
-    region of the shared dense buffer decodes exactly, and the row
-    counts reflect each field's own content."""
+    region of the shared dense buffers decodes exactly, and the counts
+    reflect each field's own content."""
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
     L, W, Wp, W4, k = FU.pic_codec_params(cfg)
     rng = np.random.default_rng(7)
@@ -100,14 +114,16 @@ def test_codec_batch_mixed_content():
              ).astype(np.uint16)
     wild = rng.integers(0, 65536, L * W).astype(np.uint16)
     pics = np.stack([clean, noisy, wild, clean])
-    got, rows, used = _roundtrip_batch(pics, cfg)
+    got, rows2, used = _roundtrip_batch(pics, cfg)
     for b in range(4):
         np.testing.assert_array_equal(got[b], pics[b])
-    assert rows[0] == rows[3] < rows[1] < rows[2] == 4 * L * (Wp // FU.CODEC_BW)
+    tot = rows2.sum(axis=0)
+    assert tot[0] == tot[3] < tot[1] < tot[2]
+    assert rows2[0, 2] > 0.99 * FU.CODEC_NPLANES * L * (Wp // FU.CODEC_BW)
 
 
-def test_codec_per_line_adaptivity():
-    """Lines with small residuals ship fewer planes even when other
+def test_codec_per_block_adaptivity():
+    """Blocks with small residuals ship few planes even when other
     lines in the same field are wild (the round-2 fixed-12-bit codec
     charged every line the worst line's rate)."""
     cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
@@ -116,21 +132,39 @@ def test_codec_per_line_adaptivity():
     pic = np.tile(np.full(W, 0x2000, np.uint16), L).reshape(L, W)
     pic[100:110] = rng.integers(0, 65536, (10, W)).astype(np.uint16)
     flat = pic.reshape(-1)
-    got, rows, used = _roundtrip_batch(flat[None], cfg)
+    got, rows2, used = _roundtrip_batch(flat[None], cfg)
     np.testing.assert_array_equal(got[0], flat)
-    # ~12 wild/altered lines at 4 planes + everything else near-free:
-    # the wild region must not drag the whole field to 4 planes
-    assert rows[0] < 4 * 30 * (Wp // FU.CODEC_BW)
+    # ~12 wild/altered lines at 16 planes + everything else near-free:
+    # the wild region must not drag the whole field up
+    assert rows2[0, 0] < FU.CODEC_NPLANES * 30 * (Wp // FU.CODEC_BW)
+
+
+def test_codec_rice_escape_wins_on_outlier_blocks():
+    """A block whose max residual is an outlier (one 12-bit spike over
+    tiny noise) must pick the Rice escape and ship far fewer words than
+    the 12 planes the max would demand — and still decode exactly."""
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    L, W, Wp, W4, k = FU.pic_codec_params(cfg)
+    rng = np.random.default_rng(9)
+    base = 0x3000 + rng.integers(-3, 4, (L, W))     # ~3-bit residuals
+    base[::7, ::31] += 3000                          # sparse 12-bit spikes
+    pic = (base & 0xFFFF).astype(np.uint16).reshape(-1)
+    got, rows2, used = _roundtrip_batch(pic[None], cfg)
+    np.testing.assert_array_equal(got[0], pic)
+    assert rows2[1, 0] > 0                           # rice streams in use
+    # nibble-granular planes would pay >= 8 bits on every spike block;
+    # rice keeps the field near its ~4-5 bit/sample entropy
+    assert used * 2 < 0.45 * pic.nbytes
 
 
 def test_rgb_image_codec_roundtrip():
     """encode_image_planes/decode_image_planes on planar RGB48-like
     content (k=1, the comb output codec in comb/batch.py): exact round
     trip and a real compression win on smooth content."""
-    import jax
     rng = np.random.default_rng(9)
     rows0, W = 480, 744
     Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
+    NB = Wp // FU.CODEC_BW
     yy, xx = np.meshgrid(np.arange(rows0), np.arange(W), indexing='ij')
     img = np.stack([
         (20000 + 40 * yy + 20 * xx) % 60000,
@@ -140,14 +174,17 @@ def test_rgb_image_codec_roundtrip():
     img = (img + rng.integers(0, 7, img.shape)).astype(np.uint16)
     pad = np.pad(img.astype(np.int32), ((0, 0), (0, Wp - W)), mode='edge')
 
-    planes, wcls = FU.encode_image_planes(jnp.asarray(pad), 1)
-    dense, rows = FU.compact_planes(planes[None], wcls[None],
-                                    4 * 3 * rows0 * (Wp // FU.CODEC_BW))
+    planes, tab, qstream, qwords = FU.encode_image_planes(
+        jnp.asarray(pad), 1)
+    dense, rows = FU.compact_planes(
+        planes[None], tab[None], FU.CODEC_NPLANES * 3 * rows0 * NB)
     rows = int(np.asarray(rows)[0])
-    got = FU.decode_image_planes(np.asarray(wcls),
-                                 np.asarray(dense)[:rows * (FU.CODEC_BW // 4)],
+    qw = int(np.asarray(qwords))
+    got = FU.decode_image_planes(np.asarray(tab),
+                                 np.asarray(dense)[:rows],
+                                 np.asarray(qstream)[:qw],
                                  (3 * rows0, Wp), 1)
     np.testing.assert_array_equal(got[:, :W], img)
-    # smooth gradients + tiny noise: ~0.50x the raw bytes (2 nibble
-    # planes/row; the %60000 wrap rows cost a little more)
-    assert rows * (FU.CODEC_BW // 4) * 2 < 0.55 * img.nbytes
+    # smooth gradients + tiny noise: ~5-6 bits/sample (the %60000 wrap
+    # rows cost a little more)
+    assert (rows + qw) * 2 < 0.45 * img.nbytes
