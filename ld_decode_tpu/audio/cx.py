@@ -173,6 +173,12 @@ def envelope_followers_blocked(maxenv: np.ndarray, fast0: float = 0.0,
     converged); converged=False means the bound certificate exceeded
     `tol` on the gain input somewhere (or the final carry state is not
     pinned) and the caller must use `_envelope_scan` instead."""
+    # the non-first blocks seed their upper bound at _ENV_CEIL, which is
+    # only a valid bound if the entry state is <= the ceiling — a wild
+    # caller-supplied state above it could keep the true state over the
+    # bound past the warm window, passing the certificate on a wrong
+    # result (in-tree callers always satisfy this; assert it)
+    assert fast0 <= _ENV_CEIL and slow0 <= _ENV_CEIL, (fast0, slow0)
     menv = jnp.asarray(maxenv, jnp.float32)
     n = int(menv.shape[0])
     nb = -(-n // core)

@@ -67,7 +67,6 @@ class CombConfig:
     of_3drange: float = 0.5
     wide: bool = False
     linesout: int = 480
-    use_pallas: bool = False   # fused VMEM stencil kernel for the 2D chain
     opticalflow: bool = True   # dim 3: Farneback flow gating (reference
                                # default; False = the K-map `-F` path)
     debug2d: bool = False      # -D: replace chroma with the 2D-3D estimate
@@ -521,20 +520,12 @@ def _frame_core(raw_u16, prev_u16, next_u16, aburstlev, cfg: CombConfig,
     if cfg.phase_invert:
         invert_col = ~invert_col
 
-    if (cfg.use_pallas and cfg.dim == 2 and not cfg.bw
-            and cfg.linesout == 480 and not cfg.showk and not cfg.debug2d):
-        from ld_decode_tpu.comb.pallas_kernels import split_chain_2d
-        y, i, q = split_chain_2d(raw, invert_col)
-        if cfg.colorlpf:
-            i, q = filter_iq(i, q, cfg)
-        vbi_dst = _row_mask(0, 24) & _col_mask(4, 840)
-        raw_sh = jnp.concatenate([raw[20:], raw[:20]], axis=0)
-        y = jnp.where(vbi_dst, raw_sh, y)
-        y = do_ynr(y, cfg)
-        i, q = do_cnr(i, q, cfg)
-        rgb, ab = to_rgb(y, i, q, raw, aburstlev, cfg)
-        return rgb, ab, {}
-
+    # (A fused Mosaic VMEM stencil for the dim-2 chain existed through
+    # round 3 but never earned a default: measured on the v5e it LOST
+    # to XLA's own fusion of these whole-frame stencils — 2.24 vs
+    # 2.16 ms/frame, with a 1-LSB f32-reassociation delta — so it was
+    # deleted per the round-3 verdict; scripts/probe_comb2d.py is the
+    # measurement, docs/PERF.md the record.)
     clp0 = split1d(raw)
     if cfg.dim == 1:
         clp0 = split1d_filtered(raw, clp0, invert_col)

@@ -194,15 +194,20 @@ def pic_codec_params(cfg: DecoderConfig):
 
 def codec_cap_rows(cfg: DecoderConfig, batch: int) -> int:
     """Dense plane-buffer capacity in words: all 16 one-bit planes of
-    every block — lossless with no overflow path; the host fetches only
-    the used prefix, so capacity costs no bandwidth."""
+    every block, each plane prefix padded to the 32-word compaction
+    unit (the worst case compact_planes can ship) — lossless with no
+    overflow path; the host fetches only the used prefix, so capacity
+    costs no bandwidth."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    return CODEC_NPLANES * L * (Wp // CODEC_BW) * batch
+    N = L * (Wp // CODEC_BW)
+    ncap = -(-N // _CODEC_UNIT) * _CODEC_UNIT
+    return CODEC_NPLANES * ncap * batch
 
 
 def codec_qcap_words(R: int, NB: int) -> int:
-    """Per-image quotient-stream capacity in u16 words."""
-    return R * NB * (CODEC_QCAP_BITS // 16)
+    """Per-image quotient-stream capacity in u16 words (multiple of the
+    8-word compaction unit)."""
+    return -(-R * NB * (CODEC_QCAP_BITS // 16) // 8) * 8
 
 
 def _codec_residual(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -251,19 +256,38 @@ def encode_image_planes(x: jnp.ndarray, k: int):
     nwords = jnp.where(elig, kbest, nb)
     tab = nwords | (elig.astype(jnp.int32) << 5)
 
-    # per-field unary quotient stream: sample i (row-major) emits
-    # q_i zeros then a stop 1; only the stop bits are scattered
-    kb_s = jnp.repeat(kbest.reshape(-1), CODEC_BW)
-    el_s = jnp.repeat(elig.reshape(-1), CODEC_BW)
-    qlen = jnp.where(el_s, (z.reshape(-1) >> kb_s) + 1, 0)
-    cum = jnp.cumsum(qlen)
-    pos = jnp.maximum(cum - 1, 0)
+    # per-field unary quotient stream: sample i (row-major) emits q_i
+    # zeros then a stop 1.  Built per BLOCK (local 64-bit window,
+    # vectorized shifts — a per-sample scatter into the field stream
+    # measured 37 ms/batch; the per-block merge is 5 scatter-adds per
+    # block, ~12 ms), then merged at exact bit offsets.
+    zb16 = zb.reshape(-1, CODEC_BW)
+    q = (zb16 >> kbest.reshape(-1, 1)) + 1         # qlen per sample
+    pcum = jnp.cumsum(q, axis=1)
+    pos = pcum - 1                                 # local stop bit 0..63
+    eligf = elig.reshape(-1)
+    l = []                                         # local words
+    for j in range(CODEC_QCAP_BITS // 16):
+        lj = jnp.sum(jnp.where((pos >> 4) == j, 1 << (pos & 15), 0),
+                     axis=1)
+        l.append(jnp.where(eligf, lj, 0))
+    qbits = jnp.where(eligf, pcum[:, -1], 0)
+    off = jnp.cumsum(qbits) - qbits                # exclusive bit offset
+    sh = off & 15
+    base = off >> 4
     qcap = codec_qcap_words(R, NB)
-    qstream = jnp.zeros(qcap, jnp.int32).at[pos >> 4].add(
-        el_s.astype(jnp.int32) << (pos & 15), mode='drop')
-    qstream = (qstream & 0xFFFF).astype(jnp.uint16)
-    qwords = ((cum[-1] + 15) >> 4).astype(jnp.int32)
-    return planes, tab, qstream, qwords
+    out = jnp.zeros(qcap, jnp.int32)
+    for j in range(5):
+        lo = (l[j] << sh) & 0xFFFF if j < 4 else 0
+        hi = (l[j - 1] >> (16 - sh)) if j > 0 else 0
+        out = out.at[base + j].add(jnp.where(eligf, lo + hi, 0),
+                                   mode='drop')
+    qstream = (out & 0xFFFF).astype(jnp.uint16)
+    total_bits = off[-1] + qbits[-1]
+    # used words, rounded to the 8-word compaction unit (the pad region
+    # is zeros, which the host's unary decode ignores)
+    qwords = (((total_bits + 15) >> 4) + 7) // 8 * 8
+    return planes, tab, qstream, qwords.astype(jnp.int32)
 
 
 def pack_tab(tab: jnp.ndarray) -> jnp.ndarray:
@@ -310,16 +334,22 @@ def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
     mode = ((tab >> 5) & 1).reshape(-1).astype(bool)
     z = np.zeros((R * NB, CODEC_BW), np.int64)
     dw = np.asarray(dense_words).astype(np.int64)
+    # replay the device's deterministic block ranking (compact_planes):
+    # plane p's words are the first cnt[p] of its 32-word-aligned
+    # prefix, in rank order
+    rank, gt = _block_rank_np(nwords.astype(np.int64))
+    ordv = np.empty(rank.size, np.int64)
+    ordv[rank] = np.arange(rank.size)
     pos = 0
     sample_sh = np.arange(CODEC_BW)
     for p in range(CODEC_NPLANES):
-        blocks = np.nonzero(nwords > p)[0]
-        cnt = len(blocks)
+        cnt = int(gt[p])
         if not cnt:
             continue
-        w = dw[pos:pos + cnt]
-        pos += cnt
-        z[blocks] |= ((w[:, None] >> sample_sh) & 1) << p
+        shipped = -(-cnt // _CODEC_UNIT) * _CODEC_UNIT
+        w = dw[pos:pos + shipped][:cnt]
+        pos += shipped
+        z[ordv[:cnt]] |= ((w[:, None] >> sample_sh) & 1) << p
     if mode.any():
         bits = np.unpackbits(np.ascontiguousarray(
             np.asarray(qstream).astype('<u2')).view(np.uint8),
@@ -347,26 +377,96 @@ def encode_picture_planes(pic: jnp.ndarray, cfg: DecoderConfig):
     return encode_image_planes(x, k)
 
 
+_CODEC_UNIT = 32                  # compaction unit in words (see below)
+
+
+def _block_rank(nw: jnp.ndarray):
+    """Deterministic dense rank of each block under (nwords DESC,
+    block-index ASC) ordering, plus cnt[p] = #blocks with nwords > p.
+    Pure integer arithmetic (17 bins), replayed exactly by
+    _block_rank_np on the host — no reliance on sort stability.
+    nw: (N,) int32 in 0..16."""
+    eq = (nw[:, None] == jnp.arange(17, dtype=jnp.int32)).astype(jnp.int32)
+    cum_eq = jnp.cumsum(eq, axis=0)
+    hist = cum_eq[-1]
+    # gt[v] = # blocks with nwords > v
+    gt = jnp.cumsum(hist[::-1])[::-1] - hist
+    rank = (jnp.take(gt, nw)
+            + jnp.take_along_axis(cum_eq, nw[:, None], axis=1)[:, 0] - 1)
+    return rank, gt
+
+
+def _block_rank_np(nw: np.ndarray):
+    """Host replay of _block_rank (identical integer arithmetic)."""
+    eq = (nw[:, None] == np.arange(17)).astype(np.int64)
+    cum_eq = np.cumsum(eq, axis=0)
+    hist = cum_eq[-1]
+    gt = np.cumsum(hist[::-1])[::-1] - hist
+    rank = gt[nw] + cum_eq[np.arange(nw.size), nw] - 1
+    return rank, gt
+
+
+def shipped_plane_words_np(nwords: np.ndarray) -> int:
+    """Host: exact dense-word count compact_planes ships for one image
+    ((R, NB) or flat nwords) — the pipeline's consistency check."""
+    _, gt = _block_rank_np(np.asarray(nwords).reshape(-1).astype(np.int64))
+    cnt = gt[:CODEC_NPLANES]
+    return int((-(-cnt // _CODEC_UNIT) * _CODEC_UNIT).sum())
+
+
 def compact_planes(planes: jnp.ndarray, tab: jnp.ndarray, cap: int):
     """planes (B, 16, R, NB) u16 + tab (B, R, NB) -> (dense (cap,) u16,
-    rows (B,) i32).  Used plane words land contiguously in (image,
-    plane, line, block) order; rows[b] = sum(nwords[b]) is image b's
-    word count."""
-    nwords = tab & 0x1F
-    mask = nwords[:, None, :, :] > jnp.arange(
-        CODEC_NPLANES, dtype=jnp.int32)[None, :, None, None]
-    rows = jnp.sum(nwords, axis=(1, 2)).astype(jnp.int32)
-    src = planes.reshape(-1)
-    idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
-    return jnp.take(src, idx), rows
+    rows (B,) i32 shipped word counts).
+
+    Unit-count economics (measured): nonzero costs ~9.5 ns/unit and
+    gathers ~7 ns/row regardless of width, so compacting 3.9M
+    single-word units costs ~68 ms/batch.  This version makes each
+    plane's used words a CONTIGUOUS PREFIX first: blocks are ranked by
+    nwords descending (deterministic counting rank, _block_rank), so
+    plane p is used exactly by the first cnt[p] ranked blocks.  One
+    244k-row gather reorders the blocks, then compaction runs at
+    32-word units over the per-plane prefixes — 122k units, word-exact
+    rate (alignment waste <= 31 words per plane per field, ~0.1%).
+    Dense layout: per image, per plane p: ceil(cnt[p]/32)*32 words of
+    which the first cnt[p] are real (rank order); rows[b] = their sum.
+    The pad words come from ranks >= cnt[p] (zero planes for
+    planes-mode blocks; rice high-bit planes) — the decoder slices
+    them off."""
+    B, _, R, NB = planes.shape
+    N = R * NB
+    Ncap = -(-N // _CODEC_UNIT) * _CODEC_UNIT
+    nwords = (tab & 0x1F).reshape(B, N)
+
+    def one(pl, nw):
+        rank, gt = _block_rank(nw)
+        ordv = jnp.zeros(N, jnp.int32).at[rank].set(
+            jnp.arange(N, dtype=jnp.int32))
+        # reorder as a row gather (7 ns/row vs ~8 ns/WORD elementwise)
+        pr = jnp.take(pl.reshape(CODEC_NPLANES, N).T, ordv, axis=0).T
+        pr = jnp.pad(pr, ((0, 0), (0, Ncap - N)))
+        cnt = gt[:CODEC_NPLANES]                   # used blocks per plane
+        used = -(-cnt // _CODEC_UNIT) * _CODEC_UNIT
+        umask = (jnp.arange(Ncap // _CODEC_UNIT)[None, :]
+                 * _CODEC_UNIT) < cnt[:, None]
+        return pr, umask, jnp.sum(used).astype(jnp.int32)
+
+    pr, umask, rows = jax.vmap(one)(planes, nwords)
+    src = pr.reshape(-1, _CODEC_UNIT)
+    idx = jnp.nonzero(umask.reshape(-1), size=cap // _CODEC_UNIT,
+                      fill_value=0)[0]
+    return jnp.take(src, idx, axis=0).reshape(-1), rows
 
 
 def compact_qstreams(qstreams: jnp.ndarray, qwords: jnp.ndarray, cap: int):
-    """qstreams (B, qcap) u16 + qwords (B,) i32 -> (dense (cap,) u16,
-    qwords).  Each image's used stream prefix lands contiguously."""
-    mask = jnp.arange(qstreams.shape[1])[None, :] < qwords[:, None]
-    idx = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=0)[0]
-    return jnp.take(qstreams.reshape(-1), idx), qwords
+    """qstreams (B, qcap) u16 + qwords (B,) i32 (multiples of 8) ->
+    (dense (cap,) u16, qwords).  Each image's used stream prefix lands
+    contiguously; compaction runs at 8-word granularity (the pad words
+    are zeros, ignored by the unary decode)."""
+    B, qcap = qstreams.shape
+    mask = jnp.arange(qcap // 8)[None, :] < (qwords // 8)[:, None]
+    idx = jnp.nonzero(mask.reshape(-1), size=cap // 8, fill_value=0)[0]
+    src = qstreams.reshape(-1, 8)
+    return jnp.take(src, idx, axis=0).reshape(-1), qwords
 
 
 def decode_picture_planes(tab: np.ndarray, dense_words: np.ndarray,
@@ -784,9 +884,11 @@ def _refine_batch(video, ll1i, ll1f, linebad, lc, cfg: DecoderConfig,
     """Batched _finish_refine.  With pallas=True (TPU, NTSC) the two
     burst-window resamples run as batch-level Pallas kernel calls
     (col0=16, ncols=48) instead of per-field XLA gathers — the gathers
-    were ~20 ms of an 88 ms 16-field batch; same f32 op order, so the
-    result is bit-identical (hardware-checked by the verify skill's
-    pallas-vs-XLA comparison; CI runs pallas=False)."""
+    were ~20 ms of an 88 ms 16-field batch.  The kernel issues the same
+    f32 op ORDER, but Mosaic's fusion is not bit-exact vs XLA on
+    hardware: the verify skill's pallas-vs-XLA check bounds the
+    divergence at <= 4 u16 LSB on the resampled picture (CI runs
+    pallas=False, so that hardware check is the binding contract)."""
     if cfg.system != 'NTSC' or not pallas:
         fn = lambda v, i_, f_, b_, l_: _finish_refine(
             v, i_, f_, b_, l_, cfg, colorphase)

@@ -319,7 +319,7 @@ class FieldPrefetcher:
             tab = FU.unpack_tab(data['pic_tab'], L_codec, NB_codec)
             if offs[b + 1] <= dense.shape[0] \
                     and offs_q[b + 1] <= dense_q.shape[0] \
-                    and int((tab & 0x1F).sum()) == rows[b]:
+                    and FU.shipped_plane_words_np(tab & 0x1F) == rows[b]:
                 pic = FU.decode_picture_planes(
                     tab, dense[offs[b]:offs[b + 1]],
                     dense_q[offs_q[b]:offs_q[b + 1]], cfg)

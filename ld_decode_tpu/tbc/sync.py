@@ -161,10 +161,19 @@ def refine_hsync_zc(demod_05: jnp.ndarray, starts: jnp.ndarray,
     w_hsync1 = gather_windows(demod_05, starts_i - 2 * freq, 4 * freq)
     w_hsync = gather_windows(demod_05, zc_i - 1 * freq, 4 * freq)
     # the burst window [zc+f, zc+3f) is the tail half of w_hsync
-    # [zc-f, zc+3f) — reuse it instead of a third gather.  (The only
-    # possible divergence is start-clipping within the last 2f samples
-    # of the capture, which no detected sync pulse can reach: zc_i is a
-    # found crossing, and the stream keeps blocklen of tail margin.)
+    # [zc-f, zc+3f) — reuse it instead of a third gather.  Clipping
+    # analysis of the reuse (gather_windows clamps starts to
+    # [0, n-width]): at the TAIL, the 4f window clamps iff
+    # zc > n-3f, but then a dedicated 2f burst gather would clamp to
+    # the same samples (zc+f >= n-2f), so the halves never diverge.
+    # At the HEAD, the windows diverge iff zc_i < f (~1 us from the
+    # buffer start): the 4f window clamps to 0 while a dedicated
+    # burst gather would start at zc+f.  No framer-locked window
+    # produces that — line 0 sits >= cfg.blockcut (= half the
+    # overlap-save block) plus the vsync region into the decode
+    # window, orders of magnitude beyond f — and these windows feed
+    # only the bad-line range heuristic, so a degenerate unlocked
+    # window at worst flags the line bad (the safe direction).
     w_burst = w_hsync[:, 2 * freq:4 * freq]
 
     bad_range = (

@@ -107,8 +107,8 @@ for d in range(5):
 
 # the real thing for reference
 def full(capture, s0, o0, m):
-    chunks, nso, noo, pic, dense, rows = FU.field_pipeline_batch(
+    chunks, nso, noo, pic, dense, dq, rows2 = FU.field_pipeline_batch(
         capture, s0, o0, m, bank, cfg, NBLK, n_audio1, BATCH, pitch,
         pallas=True, valid_len=vlen)
-    return rows.astype(jnp.float32)
+    return rows2.astype(jnp.float32)
 timed('full field_pipeline_batch', full, cap_dev, start0, off0, mtf)
