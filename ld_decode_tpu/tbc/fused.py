@@ -219,6 +219,31 @@ def _codec_residual(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return ((ds << 1) ^ (ds >> 15)) & 0xFFFF
 
 
+def _bit_transpose16(zb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) u16-valued int32 -> (..., 16) where out[..., p] packs
+    bit p of each of the 16 inputs (bit i = input i's bit p): the 16x16
+    bit-matrix transpose, as 4 butterfly stages (Hacker's Delight 7-3
+    adapted to u16) instead of 16 shift/and/reduce passes.  The raw
+    butterfly yields the anti-transpose (out[15-p] bit 15-i); a lane
+    reversal on entry and exit corrects it with no bit-reversal."""
+    x = zb[..., ::-1]
+    s = zb.shape[:-1]
+    for j, m in ((8, 0x00FF), (4, 0x0F0F), (2, 0x3333), (1, 0x5555)):
+        x = x.reshape(*s, CODEC_BW // (2 * j), 2, j)
+        lo, hi = x[..., 0, :], x[..., 1, :]
+        t = (lo ^ (hi >> j)) & m
+        x = jnp.stack([lo ^ t, hi ^ (t << j)], axis=-2).reshape(*s, CODEC_BW)
+    return x[..., ::-1]
+
+
+def _popcount16(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-element popcount of 16-bit values (int32 carrier)."""
+    v = v - ((v >> 1) & 0x5555)
+    v = (v & 0x3333) + ((v >> 2) & 0x3333)
+    v = (v + (v >> 4)) & 0x0F0F
+    return (v + (v >> 8)) & 0x1F
+
+
 def encode_image_planes(x: jnp.ndarray, k: int):
     """Codec encode of one (R, C) u16/int image (C % CODEC_BW == 0).
 
@@ -231,20 +256,14 @@ def encode_image_planes(x: jnp.ndarray, k: int):
     NB = C // CODEC_BW
     z = _codec_residual(x, k)
     zb = z.reshape(R, NB, CODEC_BW)
-    mx = jnp.max(zb, axis=2)
 
-    planes = []
-    counts = []
-    w_pack = (1 << jnp.arange(CODEC_BW, dtype=jnp.int32))[None, None, :]
-    for p in range(CODEC_NPLANES):
-        bp = (zb >> p) & 1
-        planes.append(jnp.sum(bp * w_pack, axis=2).astype(jnp.uint16))
-        counts.append(jnp.sum(bp, axis=2))
-    planes = jnp.stack(planes)                     # (16, R, NB)
-    c = jnp.stack(counts, axis=-1)                 # (R, NB, 16)
-
-    nb = jnp.sum(mx[..., None] >= (1 << jnp.arange(16)), axis=-1
-                 ).astype(jnp.int32)               # bits(max z): 0..16
+    # plane words via the 4-stage bit-matrix butterfly (vs the naive 16
+    # shift/and/reduce passes); bit counts are popcounts of those words
+    pt = _bit_transpose16(zb)                      # (R, NB, 16)
+    planes = jnp.moveaxis(pt, -1, 0).astype(jnp.uint16)  # (16, R, NB)
+    c = _popcount16(pt)                            # (R, NB, 16)
+    nb = jnp.max(jnp.where(c > 0, jnp.arange(1, 17, dtype=jnp.int32), 0),
+                 axis=-1)                          # bits(max z): 0..16
     # rice costs for every k at once: 16k + 16 + sum_t 2^(t-k) c_t
     costs = (CODEC_BW * jnp.arange(16, dtype=jnp.int32)[:, None, None]
              + CODEC_BW
@@ -259,8 +278,10 @@ def encode_image_planes(x: jnp.ndarray, k: int):
     # per-field unary quotient stream: sample i (row-major) emits q_i
     # zeros then a stop 1.  Built per BLOCK (local 64-bit window,
     # vectorized shifts — a per-sample scatter into the field stream
-    # measured 37 ms/batch; the per-block merge is 5 scatter-adds per
-    # block, ~12 ms), then merged at exact bit offsets.
+    # measured 37 ms/batch), then merged at exact bit offsets.
+    # Scatters cost ~10 ns/UPDATE regardless of width, so the merge
+    # works in 32-bit words: the 64-bit window spans 3 u32 words at any
+    # shift = 3 scatter-adds per block (vs 5 at u16 granularity).
     zb16 = zb.reshape(-1, CODEC_BW)
     q = (zb16 >> kbest.reshape(-1, 1)) + 1         # qlen per sample
     pcum = jnp.cumsum(q, axis=1)
@@ -273,16 +294,21 @@ def encode_image_planes(x: jnp.ndarray, k: int):
         l.append(jnp.where(eligf, lj, 0))
     qbits = jnp.where(eligf, pcum[:, -1], 0)
     off = jnp.cumsum(qbits) - qbits                # exclusive bit offset
-    sh = off & 15
-    base = off >> 4
+    lo32 = l[0].astype(jnp.uint32) | (l[1].astype(jnp.uint32) << 16)
+    hi32 = l[2].astype(jnp.uint32) | (l[3].astype(jnp.uint32) << 16)
+    sh = (off & 31).astype(jnp.uint32)
+    base = off >> 5
     qcap = codec_qcap_words(R, NB)
-    out = jnp.zeros(qcap, jnp.int32)
-    for j in range(5):
-        lo = (l[j] << sh) & 0xFFFF if j < 4 else 0
-        hi = (l[j - 1] >> (16 - sh)) if j > 0 else 0
-        out = out.at[base + j].add(jnp.where(eligf, lo + hi, 0),
-                                   mode='drop')
-    qstream = (out & 0xFFFF).astype(jnp.uint16)
+    out = jnp.zeros(qcap // 2, jnp.uint32)
+    # (x >> 1) >> (31 - sh) == x >> (32 - sh) without the undefined
+    # 32-bit shift at sh == 0
+    w0 = lo32 << sh
+    w1 = ((lo32 >> 1) >> (31 - sh)) | (hi32 << sh)
+    w2 = (hi32 >> 1) >> (31 - sh)
+    for j, wj in enumerate((w0, w1, w2)):
+        out = out.at[base + j].add(jnp.where(eligf, wj, 0), mode='drop')
+    qstream = jnp.stack([out & 0xFFFF, out >> 16],
+                        axis=-1).reshape(-1).astype(jnp.uint16)
     total_bits = off[-1] + qbits[-1]
     # used words, rounded to the 8-word compaction unit (the pad region
     # is zeros, which the host's unary decode ignores)

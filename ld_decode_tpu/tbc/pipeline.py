@@ -257,8 +257,13 @@ class FieldPrefetcher:
     def _dense_exec(self):
         if getattr(self, '_dense_ex', None) is None:
             import concurrent.futures
+            # 12 workers: the tunnel's bad-weather mode is LATENCY
+            # (43-800 ms/call single-stream = 1.5-6 MB/s) while 8+
+            # concurrent 256KB-1MB streams still sustain 40-50 MB/s
+            # (scripts/probe_link_shape.py) — dense-plane fetches are
+            # the dominant payload, so they get the concurrency
             self._dense_ex = concurrent.futures.ThreadPoolExecutor(
-                max_workers=4)
+                max_workers=12)
         return self._dense_ex
 
     def _schedule(self, mtf_level: float):
