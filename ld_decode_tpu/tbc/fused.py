@@ -411,14 +411,37 @@ def _block_rank(nw: jnp.ndarray):
     block-index ASC) ordering, plus cnt[p] = #blocks with nwords > p.
     Pure integer arithmetic (17 bins), replayed exactly by
     _block_rank_np on the host — no reliance on sort stability.
-    nw: (N,) int32 in 0..16."""
-    eq = (nw[:, None] == jnp.arange(17, dtype=jnp.int32)).astype(jnp.int32)
-    cum_eq = jnp.cumsum(eq, axis=0)
-    hist = cum_eq[-1]
+    nw: (N,) int32 in 0..16.
+
+    The running equal-count (a 17-bin prefix sum along the 15k-block
+    axis) rides the MXU in (17, N) orientation (bins on sublanes,
+    blocks on lanes — the (N, 17) layout pads 17 lanes to 128 and
+    measured 7.5x worse): 128-chunk inclusive prefixes via one
+    upper-triangular 128x128 matmul plus a tiny chunk-total cumsum;
+    XLA's native cumsum on the same data measured ~6 ms/batch
+    (scripts/probe_compaction.py).  The own-bin count comes from a
+    one-hot reduce instead of a per-element gather.  Counts are
+    <= N < 2^24 so f32 accumulation is exact."""
+    N = nw.shape[0]
+    C = 128
+    Np = -(-N // C) * C
+    eq = (nw[None, :] == jnp.arange(17, dtype=jnp.int32)[:, None])
+    e = jnp.pad(eq, ((0, 0), (0, Np - N))).astype(jnp.float32)
+    e = e.reshape(17, Np // C, C)
+    # triU[c, d] = 1 for c <= d: inclusive prefix along the lane axis
+    triU = (jnp.arange(C)[:, None] <= jnp.arange(C)[None, :]
+            ).astype(jnp.float32)
+    within = jnp.einsum('tgc,cd->tgd', e, triU,
+                        preferred_element_type=jnp.float32)
+    totals = within[:, :, -1].astype(jnp.int32)         # (17, G)
+    run = jnp.cumsum(totals, axis=1)                    # inclusive
+    cum_eq = (within.astype(jnp.int32)
+              + (run - totals)[:, :, None]).reshape(17, Np)[:, :N]
+    hist = run[:, -1]
     # gt[v] = # blocks with nwords > v
     gt = jnp.cumsum(hist[::-1])[::-1] - hist
-    rank = (jnp.take(gt, nw)
-            + jnp.take_along_axis(cum_eq, nw[:, None], axis=1)[:, 0] - 1)
+    own = jnp.sum(jnp.where(eq, cum_eq, 0), axis=0)     # count among equals
+    rank = jnp.take(gt, nw) + own - 1
     return rank, gt
 
 
@@ -465,11 +488,11 @@ def compact_planes(planes: jnp.ndarray, tab: jnp.ndarray, cap: int):
 
     def one(pl, nw):
         rank, gt = _block_rank(nw)
-        ordv = jnp.zeros(N, jnp.int32).at[rank].set(
-            jnp.arange(N, dtype=jnp.int32))
-        # reorder as a row gather (7 ns/row vs ~8 ns/WORD elementwise)
-        pr = jnp.take(pl.reshape(CODEC_NPLANES, N).T, ordv, axis=0).T
-        pr = jnp.pad(pr, ((0, 0), (0, Ncap - N)))
+        # reorder as ONE row scatter to rank positions (unique indices,
+        # ~10 ns/row) instead of inverting the permutation with a
+        # scatter and then row-gathering by it (two passes)
+        pr = jnp.zeros((Ncap, CODEC_NPLANES), pl.dtype).at[rank].set(
+            pl.reshape(CODEC_NPLANES, N).T).T
         cnt = gt[:CODEC_NPLANES]                   # used blocks per plane
         used = -(-cnt // _CODEC_UNIT) * _CODEC_UNIT
         umask = (jnp.arange(Ncap // _CODEC_UNIT)[None, :]
