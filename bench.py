@@ -294,6 +294,11 @@ def probe_link():
     import jax.numpy as jnp
     buf = jax.jit(lambda: jnp.arange(2 * 1024 * 1024, dtype=jnp.uint16))()
     buf.block_until_ready()
+    # warm the transfer path: the process's FIRST D2H measured
+    # 0.05-0.21 MB/s (tunnel connection setup) while the steady link
+    # read 40+ MB/s minutes later — an unwarmed probe would mislabel
+    # healthy weather as collapsed
+    _ = np.asarray(buf[:131072])
     t0 = time.time()
     with cf.ThreadPoolExecutor(8) as ex:
         parts = list(ex.map(

@@ -171,13 +171,25 @@ class _RgbCodecMixin:
         return ('codec', fut_rows, fut_wtab, fut_dense, (E, rows0, W))
 
     def _codec_fetch_one(self, dense, n):
+        """Fetch dense[:n] as fixed-size grid chunks: variable-shape
+        python slices compile one XLA program PER OFFSET (the prefix n
+        changes every window), which blocked fetch workers 0.1-0.5 s
+        each through the tunnel — see pipeline._grid_slice."""
         if n == 0:
             return np.zeros(0, np.uint16)
-        flat = dense[:n]
-        k = max(1, min(32, n // (128 * 1024)))
-        step = -(-n // k)
+        from ld_decode_tpu.tbc.pipeline import _FETCH_CHUNK, _grid_slice
+        C = _FETCH_CHUNK
+        L = dense.shape[0]
+        hi = min(n, L)
+
+        def pull(ws):
+            size = min(C, L)
+            s = max(0, min(ws, L - size))
+            a = np.asarray(_grid_slice(dense, s, size))
+            return a[ws - s:ws - s + (min(ws + C, hi) - ws)]
+
         return np.concatenate(list(self._codec_exec().map(
-            lambda i: np.asarray(flat[i * step:(i + 1) * step]), range(k))))
+            pull, range(0, hi, C))))
 
     def _codec_fetch_dense(self, denses, fut_rows, W):
         rows2 = fut_rows.result()

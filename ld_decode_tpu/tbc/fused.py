@@ -335,8 +335,8 @@ def unpack_tab(words: np.ndarray, R: int, NB: int) -> np.ndarray:
     bits = np.unpackbits(np.ascontiguousarray(
         np.asarray(words).astype('<u2')).view(np.uint8),
         bitorder='little')
-    v = bits[:R * NB * 6].reshape(-1, 6).astype(np.int64)
-    return (v << np.arange(6)).sum(axis=1).reshape(R, NB)
+    v = bits[:R * NB * 6].reshape(-1, 6).astype(np.int32)
+    return (v @ (1 << np.arange(6, dtype=np.int32))).reshape(R, NB)
 
 
 def tab_words(nblocks: int) -> int:
@@ -349,33 +349,41 @@ def bcls_words(R: int, NB: int) -> int:
 
 
 def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
-                        qstream: np.ndarray, shape, k: int) -> np.ndarray:
+                        qstream: np.ndarray, shape, k: int,
+                        rank_gt=None) -> np.ndarray:
     """Invert encode_image_planes for one image from its contiguous
     dense plane region + quotient stream (host).  tab: (R, NB) 6-bit
-    table values (see unpack_tab)."""
+    table values (see unpack_tab).  rank_gt: optional precomputed
+    _block_rank_np result (the caller often needs it too).
+
+    This runs per field on the consumer path, so it is tuned: int32
+    throughout (int64 doubled the memory traffic for nothing — the
+    mod-2^16 reconstruction is exact under int32 wraparound), planes
+    accumulate in RANK space (contiguous prefixes, one gather back to
+    block order at the end instead of 16 fancy-index RMWs), and the
+    plane loop stops at the first empty plane (gt is non-increasing)."""
     R, C = shape
     NB = C // CODEC_BW
-    tab = np.asarray(tab).astype(np.int64)
-    nwords = (tab & 0x1F).reshape(-1)
+    tab = np.asarray(tab)
+    nwords = (tab & 0x1F).reshape(-1).astype(np.int32)
     mode = ((tab >> 5) & 1).reshape(-1).astype(bool)
-    z = np.zeros((R * NB, CODEC_BW), np.int64)
-    dw = np.asarray(dense_words).astype(np.int64)
+    dw = np.asarray(dense_words).astype(np.int32)
     # replay the device's deterministic block ranking (compact_planes):
     # plane p's words are the first cnt[p] of its 32-word-aligned
     # prefix, in rank order
-    rank, gt = _block_rank_np(nwords.astype(np.int64))
-    ordv = np.empty(rank.size, np.int64)
-    ordv[rank] = np.arange(rank.size)
+    rank, gt = rank_gt if rank_gt is not None else _block_rank_np(nwords)
+    zr = np.zeros((R * NB, CODEC_BW), np.int32)
     pos = 0
-    sample_sh = np.arange(CODEC_BW)
+    sample_sh = np.arange(CODEC_BW, dtype=np.int32)
     for p in range(CODEC_NPLANES):
         cnt = int(gt[p])
         if not cnt:
-            continue
+            break                     # gt is non-increasing
         shipped = -(-cnt // _CODEC_UNIT) * _CODEC_UNIT
         w = dw[pos:pos + shipped][:cnt]
         pos += shipped
-        z[ordv[:cnt]] |= ((w[:, None] >> sample_sh) & 1) << p
+        zr[:cnt] |= ((w[:, None] >> sample_sh) & 1) << p
+    z = zr[rank]                      # rank space -> block order
     if mode.any():
         bits = np.unpackbits(np.ascontiguousarray(
             np.asarray(qstream).astype('<u2')).view(np.uint8),
@@ -383,10 +391,11 @@ def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
         nsamp = int(mode.sum()) * CODEC_BW
         ones = np.nonzero(bits)[0][:nsamp]
         q = np.diff(np.concatenate([[-1], ones])) - 1
-        z[mode] += q.reshape(-1, CODEC_BW) << nwords[mode, None]
+        z[mode] += (q.reshape(-1, CODEC_BW) << nwords[mode, None]
+                    ).astype(np.int32)
     z = z.reshape(R, C)
     d = ((z >> 1) ^ -(z & 1))                      # un-zigzag
-    x = np.zeros((R, C), np.int64)
+    x = np.zeros((R, C), np.int32)
     x[:k] = np.cumsum(d[:k], axis=1)               # head rows: h-delta
     for c in range(k):                             # vertical chains
         x[c::k] = np.cumsum(
@@ -446,21 +455,26 @@ def _block_rank(nw: jnp.ndarray):
 
 
 def _block_rank_np(nw: np.ndarray):
-    """Host replay of _block_rank (identical integer arithmetic)."""
-    eq = (nw[:, None] == np.arange(17)).astype(np.int64)
-    cum_eq = np.cumsum(eq, axis=0)
+    """Host replay of _block_rank (identical integer arithmetic; int32
+    — counts are < 2^31 by construction)."""
+    nw = np.asarray(nw).astype(np.int32)
+    eq = (nw[:, None] == np.arange(17, dtype=np.int32)).astype(np.int32)
+    cum_eq = np.cumsum(eq, axis=0, dtype=np.int32)
     hist = cum_eq[-1]
-    gt = np.cumsum(hist[::-1])[::-1] - hist
+    gt = np.cumsum(hist[::-1], dtype=np.int32)[::-1] - hist
     rank = gt[nw] + cum_eq[np.arange(nw.size), nw] - 1
     return rank, gt
 
 
-def shipped_plane_words_np(nwords: np.ndarray) -> int:
+def shipped_plane_words_np(nwords: np.ndarray, rank_gt=None) -> int:
     """Host: exact dense-word count compact_planes ships for one image
-    ((R, NB) or flat nwords) — the pipeline's consistency check."""
-    _, gt = _block_rank_np(np.asarray(nwords).reshape(-1).astype(np.int64))
+    ((R, NB) or flat nwords) — the pipeline's consistency check.
+    rank_gt: optional precomputed _block_rank_np result."""
+    _, gt = (rank_gt if rank_gt is not None
+             else _block_rank_np(np.asarray(nwords).reshape(-1)))
     cnt = gt[:CODEC_NPLANES]
-    return int((-(-cnt // _CODEC_UNIT) * _CODEC_UNIT).sum())
+    return int((-(-cnt.astype(np.int64) // _CODEC_UNIT)
+                * _CODEC_UNIT).sum())
 
 
 def compact_planes(planes: jnp.ndarray, tab: jnp.ndarray, cap: int):
@@ -519,13 +533,14 @@ def compact_qstreams(qstreams: jnp.ndarray, qwords: jnp.ndarray, cap: int):
 
 
 def decode_picture_planes(tab: np.ndarray, dense_words: np.ndarray,
-                          qstream: np.ndarray,
-                          cfg: DecoderConfig) -> np.ndarray:
+                          qstream: np.ndarray, cfg: DecoderConfig,
+                          rank_gt=None) -> np.ndarray:
     """Invert encode_picture_planes+compaction for ONE field: tab
     (L, NB) values (via unpack_tab at the caller), the field's
     contiguous dense plane region and its quotient stream."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    x = decode_image_planes(tab, dense_words, qstream, (L, Wp), k)
+    x = decode_image_planes(tab, dense_words, qstream, (L, Wp), k,
+                            rank_gt=rank_gt)
     return x[:, :W].reshape(-1)
 
 

@@ -44,6 +44,32 @@ class _Entry:
     audio_offset: float
 
 
+_FETCH_CHUNK = 131072             # words = 256 KB per fetch stream
+
+_slicer_cache = {}
+
+
+def _grid_slice(dense, start: int, size: int):
+    """dynamic_slice with STATIC size and dynamic start: python-slicing
+    `dense[lo:hi]` bakes lo/hi into the executable, so the EMA-sized
+    speculative prefixes compiled a fresh program for nearly every
+    batch (measured: ~21 XLA compiles per 32-frame pass, each blocking
+    a fetch worker 0.1-0.5 s through the tunnel).  One executable per
+    (dense length, size) pair serves every offset; dynamic_slice clamps
+    start to [0, len-size] in-graph."""
+    import jax
+    f = _slicer_cache.get(size)
+    if f is None:
+        def sl(d, s, _size=size):
+            return jax.lax.dynamic_slice(d, (s,), (_size,))
+        f = _slicer_cache[size] = jax.jit(sl)
+    return f(dense, np.int32(start))
+
+
+def grid_round_up(n: int) -> int:
+    return -(-n // _FETCH_CHUNK) * _FETCH_CHUNK
+
+
 class FieldPrefetcher:
     """Supplies FieldResults to the Framer from device-chained batches."""
 
@@ -186,10 +212,12 @@ class FieldPrefetcher:
         # only gate the rare top-up when an estimate undershoots)
         spec = spec_q = None
         if self._rows_ema is not None:
+            # grid-rounded so any top-up starts on the fetch grid
             cap = FU.codec_cap_rows(self.decoder.cfg, self.batch)
-            n_est = min(cap, int(self._rows_ema * 1.25))
+            n_est = min(cap, grid_round_up(int(self._rows_ema * 1.25)))
             spec = (n_est, self._chunk_fetch(dense, n_est))
-            n_est_q = min(dense_q.shape[0], int(self._qw_ema * 1.25))
+            n_est_q = min(dense_q.shape[0],
+                          grid_round_up(int(self._qw_ema * 1.25)))
             spec_q = (n_est_q, self._chunk_fetch(dense_q, n_est_q))
         fut_dense = ex.submit(self._fetch_dense, dense, dense_q, fut_rows,
                               spec, spec_q)
@@ -201,23 +229,29 @@ class FieldPrefetcher:
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
     def _chunk_fetch(self, dense, n, off=0):
-        """Submit concurrent ~256 KB-chunk fetches of dense[off:off+n];
-        returns the future list (one big D2H collapses pathologically on
-        the tunnel)."""
+        """Submit concurrent fixed-size 256 KB-chunk fetches covering
+        dense[off:off+n] (one big D2H collapses pathologically on the
+        tunnel; variable-shape slices compile per offset — see
+        _grid_slice).  `off` must sit on the _FETCH_CHUNK grid (the
+        speculative sizes are grid-rounded).  Returns the future list;
+        each future yields exactly its [ws, min(ws+C, off+n)) window."""
         if n <= 0:
             return []
-        nchunk = max(1, min(32, n // (128 * 1024)))
-        step = -(-n // nchunk)
+        C = _FETCH_CHUNK
+        L = dense.shape[0]
+        hi = min(off + n, L)
         ex = self._dense_exec()
 
-        def pull(i):
-            lo = off + i * step
-            hi = min(off + n, lo + step)
+        def pull(ws):
+            size = min(C, L)
+            s = max(0, min(ws, L - size))   # the in-graph clamp target
             # slice AND fetch on the worker: a device slice op is a
             # dispatch round trip that must not block the main thread
-            return np.asarray(dense[lo:hi])
+            a = np.asarray(_grid_slice(dense, s, size))
+            return a[ws - s:ws - s + (min(ws + C, hi) - ws)]
 
-        return [ex.submit(pull, i) for i in range(nchunk)]
+        return [ex.submit(pull, off + i * C)
+                for i in range(-(-(hi - off) // C))]
 
     def _fetch_prefix(self, dense, n, spec):
         """Assemble dense[:n], reusing a speculative prefix fetch and
@@ -296,6 +330,7 @@ class FieldPrefetcher:
         NB_codec = Wp_codec // FU.CODEC_BW
         W = cfg.sys.outlinelen
         out: List[_Entry] = []
+        pic_jobs = []
         prev_rs = -1
         clean = True
         for b in range(self.batch):
@@ -321,13 +356,33 @@ class FieldPrefetcher:
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
                 readsample=rs_abs)
-            tab = FU.unpack_tab(data['pic_tab'], L_codec, NB_codec)
+            if dec.bank.has_audio:
+                nout = (int(data['audio_count'][0]) - 1) * 2
+                r.dsaudio = data['audio'][:nout]
+            # else leave dsaudio None, like the sequential path
+            r.audio_next_offset = float(data['audio_next_offset'][0])
+            out.append(_Entry(rs_abs, r, mtf, float(data['meta_f'][0])))
+            pic_jobs.append((r, lc, data['pic_tab']))
+        if not clean and self._flight:
+            # downstream in-flight batches chained off garbage state
+            self._clear_flight()
+            self.stats['flight_flush'] += 1
+
+        # picture codec decode, all fields concurrently (the per-field
+        # decode is ~10 ms of numpy whose big ops drop the GIL; running
+        # the batch serially on the consumer thread was ~25% of
+        # steady-state host time)
+        def _decode_pic(b, r, lc, pic_tab):
+            tab = FU.unpack_tab(pic_tab, L_codec, NB_codec)
+            rank_gt = FU._block_rank_np((tab & 0x1F).reshape(-1))
             if offs[b + 1] <= dense.shape[0] \
                     and offs_q[b + 1] <= dense_q.shape[0] \
-                    and FU.shipped_plane_words_np(tab & 0x1F) == rows[b]:
+                    and FU.shipped_plane_words_np(tab & 0x1F,
+                                                  rank_gt) == rows[b]:
                 pic = FU.decode_picture_planes(
                     tab, dense[offs[b]:offs[b + 1]],
-                    dense_q[offs_q[b]:offs_q[b + 1]], cfg)
+                    dense_q[offs_q[b]:offs_q[b + 1]], cfg,
+                    rank_gt=rank_gt)
             else:
                 # defensive only (capacity covers all 16 planes, so
                 # this cannot trigger from content): pull the raw
@@ -335,16 +390,12 @@ class FieldPrefetcher:
                 self.stats['pic_raw_fallback'] += 1
                 pic = np.asarray(raw_pic[b])
             r.dspicture = pic[:lc * W]
-            if dec.bank.has_audio:
-                nout = (int(data['audio_count'][0]) - 1) * 2
-                r.dsaudio = data['audio'][:nout]
-            # else leave dsaudio None, like the sequential path
-            r.audio_next_offset = float(data['audio_next_offset'][0])
-            out.append(_Entry(rs_abs, r, mtf, float(data['meta_f'][0])))
-        if not clean and self._flight:
-            # downstream in-flight batches chained off garbage state
-            self._clear_flight()
-            self.stats['flight_flush'] += 1
+
+        ex = self._exec()
+        futs_pic = [ex.submit(_decode_pic, b, r, lc, pt)
+                    for b, (r, lc, pt) in enumerate(pic_jobs)]
+        for f in futs_pic:
+            f.result()
         t2 = _time.perf_counter()
         self.stats['t_fetch'] += t1 - t0
         self.stats['t_unpack'] += t2 - t1

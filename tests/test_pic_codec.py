@@ -188,3 +188,36 @@ def test_rgb_image_codec_roundtrip():
     # smooth gradients + tiny noise: ~5-6 bits/sample (the %60000 wrap
     # rows cost a little more)
     assert (rows + qw) * 2 < 0.45 * img.nbytes
+
+
+def test_bit_transpose_and_popcount_primitives():
+    """The butterfly bit-transpose must equal the definitional 16-pass
+    plane extraction, and _popcount16 the definitional bit count (these
+    carry the whole codec: a silent bit-order regression would corrupt
+    every shipped field)."""
+    import jax.numpy as jnp2
+    rng = np.random.default_rng(11)
+    zb = rng.integers(0, 65536, (7, 3, 16)).astype(np.int32)
+    pt = np.asarray(FU._bit_transpose16(jnp2.asarray(zb)))
+    for p in range(16):
+        expect = (((zb >> p) & 1) << np.arange(16)).sum(axis=-1)
+        np.testing.assert_array_equal(pt[..., p], expect)
+    pc = np.asarray(FU._popcount16(jnp2.asarray(pt)))
+    expect_pc = np.vectorize(lambda v: bin(int(v)).count('1'))(pt)
+    np.testing.assert_array_equal(pc, expect_pc)
+
+
+def test_block_rank_matches_host_replay():
+    """Device _block_rank (MXU chunked prefix + one-hot own-bin count)
+    must produce the EXACT rank/gt of the host replay for any N --
+    the decoder rebuilds the dense layout from _block_rank_np alone."""
+    import jax
+    rng = np.random.default_rng(12)
+    for N in (1, 127, 128, 129, 300, 14991):
+        nw = rng.integers(0, 17, N).astype(np.int32)
+        r, g = jax.jit(FU._block_rank)(jnp.asarray(nw))
+        rn, gn = FU._block_rank_np(nw)
+        np.testing.assert_array_equal(np.asarray(r), rn)
+        np.testing.assert_array_equal(np.asarray(g), gn)
+        # rank is a permutation: every dense slot used exactly once
+        assert np.array_equal(np.sort(np.asarray(r)), np.arange(N))
