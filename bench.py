@@ -211,6 +211,9 @@ class _ChainStage:
     decode."""
 
     CB = 8
+    DEPTH = 3          # pending comb windows in flight: the fetch +
+                       # native decode of window k overlaps the decode
+                       # of the next DEPTH*CB frames
 
     def __init__(self, tag, jobs, out8=False, opticalflow=True):
         self.tag, self.jobs = tag, jobs
@@ -231,30 +234,41 @@ class _ChainStage:
         self.spf = cfg.freq_hz / cfg.sys.fps
         bank = F.make_demod_bank(cfg, dtype=np.complex64)
         samples = capture_for('clean', self.jobs)
-        self.fr = FR.Framer(cfg, bank, capture=samples, batch=8,
-                            nblocks=52)
+        # fetch_picture=False: the .tbc picture stays device-resident
+        # (the comb reads HBM directly through the device weave) — no
+        # picture codec compute, no picture D2H, no host decode, no
+        # re-upload; only RGB + audio come down
+        self.fr = FR.Framer(cfg, bank, capture=samples, batch=16,
+                            nblocks=52, fetch_picture=False)
         self.comb = NTSCCombBatch(
             CombConfig(dim=3, opticalflow=self.opticalflow),
             out8=self.out8)
         self.cx = CXExpander()
-        self.sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': None}
+        from collections import deque
+        self.sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': deque()}
 
-    def _harvest(self):
-        rgbs, _ = self.comb.collect(self.sink['pending'])
-        self.sink['pending'] = None
+    def _harvest(self, h):
+        rgbs, _ = self.comb.collect(h)
         for rgb in rgbs:
             self.sink['rgb'] += rgb.nbytes
 
-    def _flush(self):
+    def _flush(self, drain=False):
         if self.sink['buf']:
-            h = self.comb.feed(np.stack(self.sink['buf']))
+            import jax.numpy as jnp
+            b = self.sink['buf']
+            if any(not isinstance(x, np.ndarray) for x in b):
+                frames = jnp.stack([jnp.asarray(x) for x in b])
+            else:
+                frames = np.stack(b)
+            self.sink['pending'].append(self.comb.feed(frames))
             self.sink['buf'] = []
-            if self.sink['pending'] is not None:
-                self._harvest()
-            self.sink['pending'] = h
+        limit = 0 if drain else self.DEPTH
+        while len(self.sink['pending']) > limit:
+            self._harvest(self.sink['pending'].popleft())
 
     def _chain(self, rv):
-        self.sink['buf'].append(np.asarray(rv[0]).reshape(525, 910))
+        # np or device frame — both reshape without a copy
+        self.sink['buf'].append(rv[0].reshape(525, 910))
         if len(self.sink['buf']) == self.CB:
             self._flush()
         if rv[1] is not None:
@@ -266,7 +280,8 @@ class _ChainStage:
         self.fr.prefetcher.flush()
         s = warmup_framer(self.fr, 33046)
         t0 = time.time()
-        for _ in range(self.CB):           # fill (+ compile) the window
+        # fill (+ compile) the whole pending-window pipeline
+        for _ in range(self.CB * (self.DEPTH + 1)):
             rv = self.fr.readframe(None, s, False)
             self._chain(rv)
             s = rv[2]
@@ -275,9 +290,7 @@ class _ChainStage:
         self.rates.extend(sustained_passes(
             self.fr, s, 24, npasses, self.spf, self.tag,
             per_frame=self._chain))
-        self._flush()
-        if self.sink['pending'] is not None:
-            self._harvest()
+        self._flush(drain=True)
         print(f'# {self.tag} output so far: '
               f'{self.sink["rgb"] / 1e6:.1f} MB RGB, '
               f'{self.sink["pcm"] / 1e6:.1f} MB CX audio', file=sys.stderr)

@@ -163,12 +163,16 @@ class _RgbCodecMixin:
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         cap = E * FU.CODEC_NPLANES * 3 * rows0 * (Wp // FU.CODEC_BW)
         dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap)
+        # submission order matters: rows/wtab before fetch_decode, so
+        # the FIFO pool can never park fetch_decode ahead of the
+        # futures it joins
         fut_rows = self._ex.submit(np.asarray, rows2)
         fut_wtab = self._ex.submit(np.asarray, wtab)
-        fut_dense = self._ex.submit(self._codec_fetch_dense,
-                                    (dense, dense_q), fut_rows, W)
+        fut_frames = self._ex.submit(self._codec_fetch_decode,
+                                     (dense, dense_q), fut_rows,
+                                     fut_wtab, (E, rows0, W))
         self.stats['windows'] += 1
-        return ('codec', fut_rows, fut_wtab, fut_dense, (E, rows0, W))
+        return ('codec', fut_frames)
 
     def _codec_fetch_one(self, dense, n):
         """Fetch dense[:n] as fixed-size grid chunks: variable-shape
@@ -191,30 +195,47 @@ class _RgbCodecMixin:
         return np.concatenate(list(self._codec_exec().map(
             pull, range(0, hi, C))))
 
-    def _codec_fetch_dense(self, denses, fut_rows, W):
-        rows2 = fut_rows.result()
-        return (self._codec_fetch_one(denses[0], int(rows2[0].sum())),
-                self._codec_fetch_one(denses[1], int(rows2[1].sum())))
-
-    def _codec_decode(self, handle):
+    def _codec_fetch_decode(self, denses, fut_rows, fut_wtab, shape):
+        """Runs on an _ex worker: prefix-fetch both dense buffers, then
+        decode every frame concurrently on the codec executor.  The
+        consumer's collect() joins a finished (or nearly finished)
+        result instead of fetching + decoding E frames serially on its
+        own thread — that serial path was ~90% of the no-flow chain's
+        wall time (scripts/probe_chain.py)."""
         from ld_decode_tpu.tbc import fused as FU
-        _, fut_rows, fut_wtab, fut_dense, (E, rows0, W) = handle
+        E, rows0, W = shape
         rows2 = fut_rows.result().astype(np.int64)
+        dense = self._codec_fetch_one(denses[0], int(rows2[0].sum()))
+        dense_q = self._codec_fetch_one(denses[1], int(rows2[1].sum()))
         wtab = fut_wtab.result()
-        dense, dense_q = fut_dense.result()
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         NB = Wp // FU.CODEC_BW
         offs = np.concatenate([[0], np.cumsum(rows2[0])])
         offs_q = np.concatenate([[0], np.cumsum(rows2[1])])
-        out = []
-        for e in range(E):
-            tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
-            img = FU.decode_image_planes(
-                tab, dense[offs[e]:offs[e + 1]],
-                dense_q[offs_q[e]:offs_q[e + 1]], (3 * rows0, Wp), 1)
-            out.append(np.ascontiguousarray(
-                np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2)))
-        return out
+
+        from ld_decode_tpu.tbc import native_codec as NC
+        native = NC.available()
+
+        def one(e):
+            dv = dense[offs[e]:offs[e + 1]]
+            qv = dense_q[offs_q[e]:offs_q[e + 1]]
+            img = None
+            if native:
+                tab = NC.unpack_tab(wtab[e], 3 * rows0 * NB)
+                got = NC.decode_image(tab, dv, qv, (3 * rows0, Wp), 1)
+                if got is not None and got[1] == rows2[0][e]:
+                    img = got[0]
+            if img is None:          # no toolchain / short-buffer flag
+                tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
+                img = FU.decode_image_planes(tab, dv, qv,
+                                             (3 * rows0, Wp), 1)
+            return np.ascontiguousarray(
+                np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2))
+
+        return list(self._codec_exec().map(one, range(E)))
+
+    def _codec_decode(self, handle):
+        return handle[1].result()
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
@@ -269,8 +290,12 @@ class PALCombBatch(_RgbCodecMixin):
         import time as _time
         t0 = _time.perf_counter()
         cfg = self.cfg
-        frames = np.asarray(frames).reshape(-1, PAL_Y, PAL_X)
-        dev = jnp.asarray(frames)
+        if isinstance(frames, jax.Array):
+            # device-resident chain input: no host round trip
+            dev = frames.reshape(-1, PAL_Y, PAL_X)
+        else:
+            dev = jnp.asarray(
+                np.asarray(frames).reshape(-1, PAL_Y, PAL_X))
         try:
             if cfg.dim < 3:
                 if not dev.shape[0]:
@@ -368,8 +393,12 @@ class NTSCCombBatch(_RgbCodecMixin):
         import time as _time
         t0 = _time.perf_counter()
         cfg = self.cfg
-        frames = np.asarray(frames).reshape(-1, IN_Y, IN_X)
-        dev = jnp.asarray(frames)
+        if isinstance(frames, jax.Array):
+            # device-resident chain input: no host round trip
+            dev = frames.reshape(-1, IN_Y, IN_X)
+        else:
+            dev = jnp.asarray(
+                np.asarray(frames).reshape(-1, IN_Y, IN_X))
         try:
             return self._feed(dev)
         finally:

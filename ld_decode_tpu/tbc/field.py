@@ -51,6 +51,11 @@ class FieldResult:
     linelocs: Optional[np.ndarray] = None
     burstlevel: Optional[np.ndarray] = None
     dspicture: Optional[np.ndarray] = None    # uint16 (linecount*outlinelen)
+    # device-resident picture handle (batch_pictures_dev, index): set by
+    # the batched prefetcher so chain consumers (comb) can read the
+    # picture straight from HBM without the codec D2H + host decode +
+    # re-upload round trip.  batch_pictures_dev is (batch, max_lc*W) u16.
+    dev_picture: Optional[tuple] = None
     dsaudio: Optional[np.ndarray] = None      # int16 interleaved
     audio_next_offset: float = 0.0
     vbi: Optional[dict] = None

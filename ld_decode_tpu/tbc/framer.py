@@ -19,13 +19,67 @@ from ld_decode_tpu.tbc.field import FieldDecoder, FieldResult
 from ld_decode_tpu.utils.params import DecoderConfig
 
 
+def _weave_go(pa, ia, pb, ib, half_, lf_, tok, W_: int, outlines_: int):
+    # module-level jit (below): a jit object created per call would
+    # miss the trace cache and recompile EVERY frame (~150 ms each,
+    # measured — it silently capped the device chain at ~10 MSa/s)
+    import jax
+    import jax.numpy as jnp
+    L = pa.shape[1] // W_
+    top = jax.lax.dynamic_index_in_dim(pa, ia, 0,
+                                       keepdims=False).reshape(L, W_)
+    bot = jax.lax.dynamic_index_in_dim(pb, ib, 0,
+                                       keepdims=False).reshape(L, W_)
+    fld = jnp.stack([top, bot])
+    r = jnp.arange(outlines_, dtype=jnp.int32)
+    is_main = r < 2 * half_
+    is_tail = r == 2 * half_
+    fidx = jnp.where(is_main, r & 1, lf_)
+    lidx = jnp.minimum(jnp.where(is_main, r >> 1, half_), L - 1)
+    ok = is_main | (is_tail & tok)
+    out = jnp.where(ok[:, None], fld[fidx, lidx], 0)
+    return out.reshape(-1).astype(jnp.uint16)
+
+
+_weave_go_jit = None
+_set_words_jit = None
+
+
+def _weave_device_jit(picsA, iA, picsB, iB, half, lf_sel, tail_ok,
+                      W: int, outlines: int):
+    """Interlace weave entirely on device (same semantics as
+    Framer.formatoutput): fields stay in HBM so the chain's comb can
+    read them without the codec D2H + host decode + re-upload round
+    trip.  picsA/picsB: (batch, max_lc*W) u16 batch pictures; iA/iB the
+    field indices (the pair may straddle two batches)."""
+    global _weave_go_jit
+    if _weave_go_jit is None:
+        import functools
+        import jax
+        _weave_go_jit = functools.partial(
+            jax.jit, static_argnames=('W_', 'outlines_'))(_weave_go)
+    return _weave_go_jit(picsA, np.int32(iA), picsB, np.int32(iB),
+                         np.int32(half), np.int32(lf_sel), bool(tail_ok),
+                         W_=W, outlines_=outlines)
+
+
+def _set_frame_words(frame, words: np.ndarray):
+    """Device frame[:16] = metadata words, through one cached jit."""
+    global _set_words_jit
+    if _set_words_jit is None:
+        import jax
+        _set_words_jit = jax.jit(lambda f, w: f.at[:16].set(w))
+    return _set_words_jit(frame, np.asarray(words, np.uint16))
+
+
 class Framer:
     def __init__(self, cfg: DecoderConfig, bank: DemodBank,
                  loader: Callable = None, full_decode: bool = True,
                  nblocks: int = 66, capture: np.ndarray = None,
                  batch: int = 1, despackle: bool = False,
                  segment_samples: int = 0, rot_level: float = 40.0,
-                 flip_fields: bool = False, bff: bool = False):
+                 flip_fields: bool = False, bff: bool = False,
+                 fetch_picture: bool = True):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
@@ -71,7 +125,8 @@ class Framer:
                           or (loader is not None and segment_samples > 0)):
             from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
             self.prefetcher = FieldPrefetcher(self.decoder, self.capture_dev,
-                                              batch)
+                                              batch,
+                                              fetch_picture=fetch_picture)
             if self.capture_dev is None:
                 # lookahead the chain needs resident beyond any request
                 horizon = ((self.prefetcher.DEPTH + 1) * batch
@@ -209,7 +264,30 @@ class Framer:
 
     def formatoutput(self, fields) -> np.ndarray:
         """Interlace weave incl. the visible half-line
-        (reference lddecode_core.py:1238-1252)."""
+        (reference lddecode_core.py:1238-1252).  In device-chain mode
+        (fetch_picture=False) both fields live only in HBM and the
+        weave runs on device, returning a jax array."""
+        if all(f.dspicture is None and f.dev_picture is not None
+               for f in fields):
+            top, bot = ((fields[1], fields[0]) if self.flip_fields
+                        else fields)
+            half = min(fields[0].linecount, fields[1].linecount)
+            lf = int(np.argmax([fields[0].linecount,
+                                fields[1].linecount]))
+            tail_ok = (half + 1) <= fields[lf].linecount
+            lf_sel = (1 - lf) if self.flip_fields else lf
+            pa, ia = top.dev_picture
+            pb, ib = bot.dev_picture
+            return _weave_device_jit(pa, ia, pb, ib, half, lf_sel,
+                                     tail_ok, self.outwidth,
+                                     self.outlines)
+        for f in fields:
+            if f.dspicture is None and f.dev_picture is not None:
+                # mixed pair (rare: one field came from the sequential
+                # fallback): materialize the device one
+                pics, i = f.dev_picture
+                f.dspicture = np.asarray(pics[i])[
+                    :f.linecount * self.outwidth]
         W = self.outwidth
         half = min(fields[0].linecount, fields[1].linecount)
         linecount = half * 2
@@ -259,6 +337,10 @@ class Framer:
             conaudio = None
 
         combined = self.formatoutput(fields) if self.full_decode else None
+        if combined is not None and self.despackle \
+                and not isinstance(combined, np.ndarray):
+            # despackle is a host np pass; materialize the device frame
+            combined = np.asarray(combined)
         if combined is not None and self.despackle:
             # rot concealment post-pass (reference tbc.cpp:1528-1565)
             from ld_decode_tpu.tbc.despackle import despackle as _dsp
@@ -273,7 +355,11 @@ class Framer:
             # full line-0 metadata words (ld-decoder.h:227-252 spec; the
             # reference Python pipeline left these as picture samples)
             from ld_decode_tpu.vbi.metadata import frame_metadata_words
-            combined[:16] = frame_metadata_words(fields, self.vbi, cfg)
+            words = frame_metadata_words(fields, self.vbi, cfg)
+            if isinstance(combined, np.ndarray):
+                combined[:16] = words
+            else:                     # device frame: tiny async update
+                combined = _set_frame_words(combined, words)
 
         # MTF compensation feedback: CAV frame number drives the RF
         # equalizer level; a large change forces a re-decode

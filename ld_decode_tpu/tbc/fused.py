@@ -1210,7 +1210,7 @@ def pipeline_analyze(capture, starts, mtf_level, bank: DemodBank,
 def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
                     starts, offs_used, bank: DemodBank, cfg: DecoderConfig,
                     n_audio1: int, colorlevel: float, colorphase: float,
-                    pallas: bool):
+                    pallas: bool, codec: bool = True):
     """Refinement + outputs + picture codec + per-field meta for a batch
     (same stages as field_finish_batch).  Returns per-field bundle rows
     (batch, words), the raw device-resident picture (defensive
@@ -1239,14 +1239,23 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
     pic, rest = jax.vmap(outfn)(video, audio1, lli, llf, scaled, lc,
                                 offs_used, burstlevel)
 
-    planes, tab, qstreams, qwords = jax.vmap(
-        lambda p: encode_picture_planes(p, cfg))(pic)
-    dense, rows = compact_planes(planes, tab,
-                                 codec_cap_rows(cfg, starts.shape[0]))
     L, W, Wp, W4, k = pic_codec_params(cfg)
-    qcap = codec_qcap_words(L, Wp // CODEC_BW) * starts.shape[0]
-    dense_q, qw = compact_qstreams(qstreams, qwords, qcap)
-    rows2 = jnp.stack([rows, qw])
+    if codec:
+        planes, tab, qstreams, qwords = jax.vmap(
+            lambda p: encode_picture_planes(p, cfg))(pic)
+        dense, rows = compact_planes(planes, tab,
+                                     codec_cap_rows(cfg, starts.shape[0]))
+        qcap = codec_qcap_words(L, Wp // CODEC_BW) * starts.shape[0]
+        dense_q, qw = compact_qstreams(qstreams, qwords, qcap)
+        rows2 = jnp.stack([rows, qw])
+    else:
+        # device-resident chain mode: the picture never leaves HBM
+        # (the comb reads it directly), so skip the ~21 ms/batch codec
+        # and ship token-empty payloads (bundle layout unchanged)
+        tab = jnp.zeros((starts.shape[0], L, Wp // CODEC_BW), jnp.int32)
+        dense = jnp.zeros(8, jnp.uint16)
+        dense_q = jnp.zeros(8, jnp.uint16)
+        rows2 = jnp.zeros((2, starts.shape[0]), jnp.int32)
 
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
                         lc, nfo, nv, vs_count, starts], axis=1)
@@ -1261,13 +1270,13 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
 @functools.partial(jax.jit, static_argnames=('cfg', 'nblocks', 'n_audio1',
                                              'batch', 'field_pitch',
                                              'colorlevel', 'colorphase',
-                                             'pallas'))
+                                             'pallas', 'codec'))
 def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
                          bank: DemodBank, cfg: DecoderConfig, nblocks: int,
                          n_audio1: int, batch: int, field_pitch: int,
                          colorlevel: float = 1.45,
                          colorphase: float = 91.5, pallas: bool = False,
-                         valid_len=None):
+                         valid_len=None, codec: bool = True):
     """The whole speculative field batch as ONE jitted call + ONE D2H.
 
     Demod + sync peaks, device-side vsync voting and line numbering
@@ -1294,7 +1303,8 @@ def field_pipeline_batch(capture, start0, audio_offset0, mtf_level,
 
     bundle, pic, dense, dense_q, rows2 = pipeline_finish(
         video, audio1, lld, lc, valid, istop, nfo, nv, vs_count, starts,
-        offs_used, bank, cfg, n_audio1, colorlevel, colorphase, pallas)
+        offs_used, bank, cfg, n_audio1, colorlevel, colorphase, pallas,
+        codec=codec)
     # The bundle (linelocs/audio/meta/block tables) ships in a couple
     # of eagerly-fetched chunks; the picture ships as the compacted
     # dense bit-plane buffer + quotient streams, of which the

@@ -76,9 +76,14 @@ class FieldPrefetcher:
     DEPTH = 3
 
     def __init__(self, decoder: FieldDecoder, capture_dev, batch: int = 8,
-                 pipelined: bool = True):
+                 pipelined: bool = True, fetch_picture: bool = True):
         self.decoder = decoder
         self.capture = capture_dev
+        # False = device-resident chain mode: the picture codec is
+        # skipped on device and the picture is never fetched — entries
+        # carry only the (batch_pictures_dev, index) handle and
+        # dspicture stays None (the comb reads HBM directly)
+        self.fetch_picture = fetch_picture
         # absolute file sample of capture[0]: all public positions
         # (get()'s `sample`, entry readsamples) are absolute; device
         # windows are capture-relative.  Nonzero in segmented mode
@@ -194,7 +199,8 @@ class FieldPrefetcher:
             dec.bank, cfg, dec.nblocks, n_audio1, self.batch,
             self.field_pitch,
             colorlevel=dec.colorlevel, colorphase=dec.colorphase,
-            pallas=self._pallas, valid_len=self._vlen_dev)
+            pallas=self._pallas, valid_len=self._vlen_dev,
+            codec=self.fetch_picture)
         # eager-fetch every chunk now: each np.asarray blocks its worker
         # until the device compute finishes, so the tunnel starts the
         # transfer the moment the batch is ready, independent of when the
@@ -211,7 +217,7 @@ class FieldPrefetcher:
         # the transfers need no host round trip for the counts (those
         # only gate the rare top-up when an estimate undershoots)
         spec = spec_q = None
-        if self._rows_ema is not None:
+        if self._rows_ema is not None and self.fetch_picture:
             # grid-rounded so any top-up starts on the fetch grid
             cap = FU.codec_cap_rows(self.decoder.cfg, self.batch)
             n_est = min(cap, grid_round_up(int(self._rows_ema * 1.25)))
@@ -361,8 +367,10 @@ class FieldPrefetcher:
                 r.dsaudio = data['audio'][:nout]
             # else leave dsaudio None, like the sequential path
             r.audio_next_offset = float(data['audio_next_offset'][0])
+            r.dev_picture = (raw_pic, b)
             out.append(_Entry(rs_abs, r, mtf, float(data['meta_f'][0])))
-            pic_jobs.append((r, lc, data['pic_tab']))
+            if self.fetch_picture:
+                pic_jobs.append((r, lc, data['pic_tab']))
         if not clean and self._flight:
             # downstream in-flight batches chained off garbage state
             self._clear_flight()
@@ -372,18 +380,34 @@ class FieldPrefetcher:
         # decode is ~10 ms of numpy whose big ops drop the GIL; running
         # the batch serially on the consumer thread was ~25% of
         # steady-state host time)
+        from ld_decode_tpu.tbc import native_codec as NC
+        native = NC.available()
+        Wp_codec = NB_codec * FU.CODEC_BW
+        k_codec = FU.pic_codec_params(cfg)[4]
+
         def _decode_pic(b, r, lc, pic_tab):
-            tab = FU.unpack_tab(pic_tab, L_codec, NB_codec)
-            rank_gt = FU._block_rank_np((tab & 0x1F).reshape(-1))
+            pic = None
             if offs[b + 1] <= dense.shape[0] \
-                    and offs_q[b + 1] <= dense_q.shape[0] \
-                    and FU.shipped_plane_words_np(tab & 0x1F,
-                                                  rank_gt) == rows[b]:
-                pic = FU.decode_picture_planes(
-                    tab, dense[offs[b]:offs[b + 1]],
-                    dense_q[offs_q[b]:offs_q[b + 1]], cfg,
-                    rank_gt=rank_gt)
-            else:
+                    and offs_q[b + 1] <= dense_q.shape[0]:
+                dv = dense[offs[b]:offs[b + 1]]
+                qv = dense_q[offs_q[b]:offs_q[b + 1]]
+                if native:
+                    tab = NC.unpack_tab(pic_tab, L_codec * NB_codec)
+                    got = NC.decode_image(tab, dv, qv,
+                                          (L_codec, Wp_codec), k_codec)
+                    # the returned shipped-word count doubles as the
+                    # consistency gate vs the device-reported rows[b]
+                    if got is not None and got[1] == rows[b]:
+                        pic = got[0][:, :W].reshape(-1)
+                if pic is None and not native:
+                    tab = FU.unpack_tab(pic_tab, L_codec, NB_codec)
+                    rank_gt = FU._block_rank_np(
+                        (tab & 0x1F).reshape(-1))
+                    if FU.shipped_plane_words_np(tab & 0x1F,
+                                                 rank_gt) == rows[b]:
+                        pic = FU.decode_picture_planes(
+                            tab, dv, qv, cfg, rank_gt=rank_gt)
+            if pic is None:
                 # defensive only (capacity covers all 16 planes, so
                 # this cannot trigger from content): pull the raw
                 # picture

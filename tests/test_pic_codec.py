@@ -221,3 +221,41 @@ def test_block_rank_matches_host_replay():
         np.testing.assert_array_equal(np.asarray(g), gn)
         # rank is a permutation: every dense slot used exactly once
         assert np.array_equal(np.sort(np.asarray(r)), np.arange(N))
+
+
+def test_native_codec_decoder_matches_numpy():
+    """The C decoder (native/codec_decode.cpp) must reproduce the numpy
+    decode bit-for-bit (including the packed-table wire format and the
+    shipped-word consistency count) — it carries every picture and RGB
+    frame on the consumer path when the toolchain is present."""
+    import jax
+    from ld_decode_tpu.tbc import native_codec as NC
+    if not NC.available():
+        pytest.skip('no native toolchain')
+    rng = np.random.default_rng(21)
+    R, W = 263, 912
+    base = 0x3000 + rng.integers(-40, 40, (R, W))
+    base[::9, ::17] += 2800                       # rice-escape spikes
+    base[40:45] = rng.integers(0, 65536, (5, W))  # full-entropy band
+    img = (base & 0xFFFF).astype(np.uint16)
+    for k in (1, 2, 4):
+        planes, tab, qs, qw = jax.jit(
+            FU.encode_image_planes, static_argnums=1)(
+                jnp.asarray(img.astype(np.int32)), k)
+        dense, rows = FU.compact_planes(planes[None], tab[None],
+                                        16 * R * (W // 16))
+        nrows = int(np.asarray(rows)[0])
+        nqw = int(np.asarray(qw))
+        wtab = np.asarray(FU.pack_tab(tab))
+        tab_n = NC.unpack_tab(wtab, R * (W // 16))
+        np.testing.assert_array_equal(
+            tab_n.reshape(R, W // 16), np.asarray(tab))
+        got, shipped = NC.decode_image(
+            tab_n, np.asarray(dense)[:nrows], np.asarray(qs)[:nqw],
+            (R, W), k)
+        assert shipped == nrows
+        np.testing.assert_array_equal(got, img)
+    # short-buffer flag, not garbage, on truncated input
+    _, shipped = NC.decode_image(tab_n, np.asarray(dense)[:nrows // 2],
+                                 np.asarray(qs)[:nqw], (R, W), 4)
+    assert shipped == -1
