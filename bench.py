@@ -62,11 +62,11 @@ def cached_capture(cfg, nframes, spec, tag):
 _CAPTURES = {
     'clean': ('NTSC', 132, dict(pattern='ramp', cav_start_frame=900),
               'ntsc40_ramp_132_v1'),
-    'noisy': ('NTSC', 104, dict(pattern='ramp', cav_start_frame=900,
+    'noisy': ('NTSC', 120, dict(pattern='ramp', cav_start_frame=900,
                                 noise_rms=0.02),
-              'ntsc40_ramp_noisy02_104_v1'),
-    'pal': ('PAL', 96, dict(pattern='palbars', cav_start_frame=900),
-            'pal40_bars_96_v1'),
+              'ntsc40_ramp_noisy02_120_v1'),
+    'pal': ('PAL', 128, dict(pattern='palbars', cav_start_frame=900),
+            'pal40_bars_128_v1'),
 }
 
 
@@ -191,10 +191,25 @@ class _DecodeStage:
 
     def visit(self, npasses):
         self._ensure()
-        # each visit restarts at the capture head: warmup + passes +
-        # speculative lookahead fit the capture without an EOF clamp
+        # each visit restarts at the capture head: warmup + burn-in +
+        # passes + speculative lookahead fit the capture without an EOF
+        # clamp
         self.fr.prefetcher.flush()
         s = warmup_framer(self.fr, self.start)
+        # burn-in: warmup leaves (DEPTH+1)*batch fields pre-decoded in
+        # the speculative queue; consuming them inside a timed pass
+        # measures fetch, not decode (a 20-frame PAL pass once read an
+        # absurd 348 MSa/s that way).  Drain them untimed so the passes
+        # see steady-state production.
+        nburn = ((self.fr.prefetcher.DEPTH + 1) * self.batch + 1) // 2
+        t0 = time.time()
+        for _ in range(nburn):
+            rv = self.fr.readframe(None, s, False)
+            if rv[0] is None:
+                break
+            s = rv[2]
+        print(f'# {self.tag} burn-in: {nburn} frames in '
+              f'{time.time() - t0:.1f}s', file=sys.stderr)
         self.rates.extend(sustained_passes(
             self.fr, s, self.reps, npasses, self.spf, self.tag))
         print(f'# {self.tag} prefetcher stats: {self.fr.prefetcher.stats}',

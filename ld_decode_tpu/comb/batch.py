@@ -157,7 +157,7 @@ class _RgbCodecMixin:
                 max_workers=8)
         return self._codec_ex
 
-    def _codec_dispatch(self, rgb):
+    def _codec_dispatch(self, rgb, out8=False):
         from ld_decode_tpu.tbc import fused as FU
         E, rows0, W, _ = rgb.shape
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
@@ -170,7 +170,7 @@ class _RgbCodecMixin:
         fut_wtab = self._ex.submit(np.asarray, wtab)
         fut_frames = self._ex.submit(self._codec_fetch_decode,
                                      (dense, dense_q), fut_rows,
-                                     fut_wtab, (E, rows0, W))
+                                     fut_wtab, (E, rows0, W, out8))
         self.stats['windows'] += 1
         return ('codec', fut_frames)
 
@@ -203,7 +203,7 @@ class _RgbCodecMixin:
         own thread — that serial path was ~90% of the no-flow chain's
         wall time (scripts/probe_chain.py)."""
         from ld_decode_tpu.tbc import fused as FU
-        E, rows0, W = shape
+        E, rows0, W, out8 = shape
         rows2 = fut_rows.result().astype(np.int64)
         dense = self._codec_fetch_one(denses[0], int(rows2[0].sum()))
         dense_q = self._codec_fetch_one(denses[1], int(rows2[1].sum()))
@@ -229,8 +229,9 @@ class _RgbCodecMixin:
                 tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
                 img = FU.decode_image_planes(tab, dv, qv,
                                              (3 * rows0, Wp), 1)
-            return np.ascontiguousarray(
+            arr = np.ascontiguousarray(
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2))
+            return arr.astype(np.uint8) if out8 else arr
 
         return list(self._codec_exec().map(one, range(E)))
 
@@ -320,7 +321,12 @@ class PALCombBatch(_RgbCodecMixin):
             self.stats['t_feed'] += _time.perf_counter() - t0
 
     def _fetch(self, rgb):
-        if self.codec and not self.out8:
+        if self.codec:
+            if self.out8:
+                # 8-bit output still rides the codec (raw u8 is
+                # 1 MB/frame -- transfer-capped on the tunnel)
+                return self._codec_dispatch(
+                    _to_rgb8(rgb).astype(jnp.uint16), out8=True)
             return self._codec_dispatch(rgb)
         if self.out8:
             rgb = _to_rgb8(rgb)
@@ -433,7 +439,10 @@ class NTSCCombBatch(_RgbCodecMixin):
         return self._eager_fetch(rgb, words)
 
     def _eager_fetch(self, rgb, words):
-        if self.codec and not self.out8:
+        if self.codec:
+            if self.out8:
+                return self._codec_dispatch(
+                    _to_rgb8(rgb).astype(jnp.uint16), out8=True), words
             return self._codec_dispatch(rgb), words
         if self.out8:
             rgb = _to_rgb8(rgb)

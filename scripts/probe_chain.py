@@ -26,14 +26,15 @@ spf = cfg.freq_hz / cfg.sys.fps
 bank = F.make_demod_bank(cfg, dtype=np.complex64)
 cap = np.load(os.path.expanduser(
     '~/.cache/ldd_tpu_bench_ntsc40_ramp_132_v1.npy'))
-fr = FR.Framer(cfg, bank, capture=cap, batch=8, nblocks=52,
+fr = FR.Framer(cfg, bank, capture=cap, batch=16, nblocks=52,
                fetch_picture=not ('--host' in sys.argv))
 comb = NTSCCombBatch(CombConfig(dim=3, opticalflow=flow))
 cx = CXExpander()
 
-sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': None,
+from collections import deque
+sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': deque(),
         't_comb': 0.0, 't_cx': 0.0, 't_decode': 0.0}
-CB = 8
+CB, DEPTH = 8, 3
 
 
 def chain(rv):
@@ -46,13 +47,12 @@ def chain(rv):
             frames = jnp.stack([jnp.asarray(x) for x in b])
         else:
             frames = np.stack(b)
-        h = comb.feed(frames)
+        sink['pending'].append(comb.feed(frames))
         sink['buf'] = []
-        if sink['pending'] is not None:
-            rgbs, _ = comb.collect(sink['pending'])
+        while len(sink['pending']) > DEPTH:
+            rgbs, _ = comb.collect(sink['pending'].popleft())
             for rgb in rgbs:
                 sink['rgb'] += rgb.nbytes
-        sink['pending'] = h
     t1 = time.perf_counter()
     if rv[1] is not None:
         sink['pcm'] += cx.process(np.asarray(rv[1]).ravel()).nbytes
