@@ -152,9 +152,10 @@ class _RgbCodecMixin:
     def _codec_exec(self):
         if getattr(self, '_codec_ex', None) is None:
             # latency-shaped bad weather needs 8+ concurrent streams to
-            # hold 40+ MB/s (scripts/probe_link_shape.py)
+            # hold 40+ MB/s (scripts/probe_link_shape.py); 12 covers
+            # fetch + per-frame decode jobs without queuing
             self._codec_ex = concurrent.futures.ThreadPoolExecutor(
-                max_workers=8)
+                max_workers=12)
         return self._codec_ex
 
     def _codec_dispatch(self, rgb, out8=False):
