@@ -162,7 +162,10 @@ class _RgbCodecMixin:
         from ld_decode_tpu.tbc import fused as FU
         E, rows0, W, _ = rgb.shape
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
-        cap = E * FU.CODEC_NPLANES * 3 * rows0 * (Wp // FU.CODEC_BW)
+        # per-image block count rounded to the compaction unit — an
+        # unrounded cap truncates the trailing units whenever
+        # 3*rows0*NB % 32 != 0 (e.g. the 525-line -L mode)
+        cap = FU.codec_cap_words(3 * rows0 * (Wp // FU.CODEC_BW), E)
         dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap)
         # submission order matters: rows/wtab before fetch_decode, so
         # the FIFO pool can never park fetch_decode ahead of the
@@ -175,46 +178,31 @@ class _RgbCodecMixin:
         self.stats['windows'] += 1
         return ('codec', fut_frames)
 
-    def _codec_fetch_one(self, dense, n):
-        """Fetch dense[:n] as fixed-size grid chunks: variable-shape
-        python slices compile one XLA program PER OFFSET (the prefix n
-        changes every window), which blocked fetch workers 0.1-0.5 s
-        each through the tunnel — see pipeline._grid_slice."""
-        if n == 0:
-            return np.zeros(0, np.uint16)
-        from ld_decode_tpu.tbc.pipeline import _FETCH_CHUNK, _grid_slice
-        C = _FETCH_CHUNK
-        L = dense.shape[0]
-        hi = min(n, L)
-
-        def pull(ws):
-            size = min(C, L)
-            s = max(0, min(ws, L - size))
-            a = np.asarray(_grid_slice(dense, s, size))
-            return a[ws - s:ws - s + (min(ws + C, hi) - ws)]
-
-        return np.concatenate(list(self._codec_exec().map(
-            pull, range(0, hi, C))))
-
     def _codec_fetch_decode(self, denses, fut_rows, fut_wtab, shape):
-        """Runs on an _ex worker: prefix-fetch both dense buffers, then
-        decode every frame concurrently on the codec executor.  The
-        consumer's collect() joins a finished (or nearly finished)
-        result instead of fetching + decoding E frames serially on its
-        own thread — that serial path was ~90% of the no-flow chain's
-        wall time (scripts/probe_chain.py)."""
+        """Runs on an _ex worker: prefix-fetch both dense buffers
+        (chunk sets submitted together so the transfers interleave on
+        the link), then decode every frame concurrently on the codec
+        executor.  The consumer's collect() joins a finished (or
+        nearly finished) result instead of fetching + decoding E
+        frames serially on its own thread — that serial path was ~90%
+        of the no-flow chain's wall time (scripts/probe_chain.py)."""
         from ld_decode_tpu.tbc import fused as FU
+        from ld_decode_tpu.tbc import native_codec as NC
+        from ld_decode_tpu.tbc.pipeline import grid_fetch_chunks
         E, rows0, W, out8 = shape
         rows2 = fut_rows.result().astype(np.int64)
-        dense = self._codec_fetch_one(denses[0], int(rows2[0].sum()))
-        dense_q = self._codec_fetch_one(denses[1], int(rows2[1].sum()))
+        ex = self._codec_exec()
+        futs_d = grid_fetch_chunks(ex, denses[0], int(rows2[0].sum()))
+        futs_q = grid_fetch_chunks(ex, denses[1], int(rows2[1].sum()))
+        dense = (np.concatenate([f.result() for f in futs_d])
+                 if futs_d else np.zeros(0, np.uint16))
+        dense_q = (np.concatenate([f.result() for f in futs_q])
+                   if futs_q else np.zeros(0, np.uint16))
         wtab = fut_wtab.result()
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         NB = Wp // FU.CODEC_BW
         offs = np.concatenate([[0], np.cumsum(rows2[0])])
         offs_q = np.concatenate([[0], np.cumsum(rows2[1])])
-
-        from ld_decode_tpu.tbc import native_codec as NC
         native = NC.available()
 
         def one(e):
@@ -226,10 +214,17 @@ class _RgbCodecMixin:
                 got = NC.decode_image(tab, dv, qv, (3 * rows0, Wp), 1)
                 if got is not None and got[1] == rows2[0][e]:
                     img = got[0]
-            if img is None:          # no toolchain / short-buffer flag
+            if img is None and not native:
                 tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
-                img = FU.decode_image_planes(tab, dv, qv,
-                                             (3 * rows0, Wp), 1)
+                if FU.shipped_plane_words_np(tab & 0x1F) == rows2[0][e]:
+                    img = FU.decode_image_planes(tab, dv, qv,
+                                                 (3 * rows0, Wp), 1)
+            if img is None:
+                # consistency gate failed (short fetch / corrupt
+                # counts): a black frame beats crashing the stream
+                self.stats['rgb_decode_fallback'] = \
+                    self.stats.get('rgb_decode_fallback', 0) + 1
+                img = np.zeros((3 * rows0, Wp), np.uint16)
             arr = np.ascontiguousarray(
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2))
             return arr.astype(np.uint8) if out8 else arr

@@ -204,6 +204,17 @@ def codec_cap_rows(cfg: DecoderConfig, batch: int) -> int:
     return CODEC_NPLANES * ncap * batch
 
 
+def codec_cap_words(nblocks: int, count: int = 1) -> int:
+    """Dense plane-buffer capacity in words for `count` images of
+    `nblocks` 16-sample blocks each: all 16 one-bit planes, each
+    plane's prefix padded to the 32-word compaction unit (what
+    compact_planes can ship in the worst case).  An UNROUNDED
+    nblocks-multiple cap silently truncates the trailing units when
+    nblocks % 32 != 0."""
+    return CODEC_NPLANES * (-(-nblocks // _CODEC_UNIT) * _CODEC_UNIT) \
+        * count
+
+
 def codec_qcap_words(R: int, NB: int) -> int:
     """Per-image quotient-stream capacity in u16 words (multiple of the
     8-word compaction unit)."""

@@ -70,6 +70,31 @@ def grid_round_up(n: int) -> int:
     return -(-n // _FETCH_CHUNK) * _FETCH_CHUNK
 
 
+def grid_fetch_chunks(ex, dense, n: int, off: int = 0):
+    """Submit fixed-size 256 KB grid-chunk fetches of dense[off:off+n]
+    on executor `ex`; returns the future list (each future yields
+    exactly its [ws, min(ws+C, off+n)) window).  `off` must sit on the
+    grid.  Shared by the pipeline's prefix fetch and the comb's RGB
+    codec fetch — the clamp arithmetic is subtle enough to exist
+    once."""
+    if n <= 0:
+        return []
+    C = _FETCH_CHUNK
+    L = dense.shape[0]
+    hi = min(off + n, L)
+
+    def pull(ws):
+        size = min(C, L)
+        s = max(0, min(ws, L - size))   # the in-graph clamp target
+        # slice AND fetch on the worker: a device slice op is a
+        # dispatch round trip that must not block the caller
+        a = np.asarray(_grid_slice(dense, s, size))
+        return a[ws - s:ws - s + (min(ws + C, hi) - ws)]
+
+    return [ex.submit(pull, off + i * C)
+            for i in range(-(-(hi - off) // C))]
+
+
 class FieldPrefetcher:
     """Supplies FieldResults to the Framer from device-chained batches."""
 
@@ -217,7 +242,11 @@ class FieldPrefetcher:
         # the transfers need no host round trip for the counts (those
         # only gate the rare top-up when an estimate undershoots)
         spec = spec_q = None
-        if self._rows_ema is not None and self.fetch_picture:
+        # both EMAs checked: they are assigned in separate statements
+        # by the dense-fetch worker, so _rows_ema alone can be set
+        # while _qw_ema is still None (TOCTOU)
+        if self._rows_ema is not None and self._qw_ema is not None \
+                and self.fetch_picture:
             # grid-rounded so any top-up starts on the fetch grid
             cap = FU.codec_cap_rows(self.decoder.cfg, self.batch)
             n_est = min(cap, grid_round_up(int(self._rows_ema * 1.25)))
@@ -235,29 +264,11 @@ class FieldPrefetcher:
         self.stats['t_dispatch'] += _time.perf_counter() - t0
 
     def _chunk_fetch(self, dense, n, off=0):
-        """Submit concurrent fixed-size 256 KB-chunk fetches covering
-        dense[off:off+n] (one big D2H collapses pathologically on the
-        tunnel; variable-shape slices compile per offset — see
-        _grid_slice).  `off` must sit on the _FETCH_CHUNK grid (the
-        speculative sizes are grid-rounded).  Returns the future list;
-        each future yields exactly its [ws, min(ws+C, off+n)) window."""
-        if n <= 0:
-            return []
-        C = _FETCH_CHUNK
-        L = dense.shape[0]
-        hi = min(off + n, L)
-        ex = self._dense_exec()
-
-        def pull(ws):
-            size = min(C, L)
-            s = max(0, min(ws, L - size))   # the in-graph clamp target
-            # slice AND fetch on the worker: a device slice op is a
-            # dispatch round trip that must not block the main thread
-            a = np.asarray(_grid_slice(dense, s, size))
-            return a[ws - s:ws - s + (min(ws + C, hi) - ws)]
-
-        return [ex.submit(pull, off + i * C)
-                for i in range(-(-(hi - off) // C))]
+        """grid_fetch_chunks on the dense executor (one big D2H
+        collapses pathologically on the tunnel; variable-shape slices
+        compile per offset — see _grid_slice).  `off` must sit on the
+        _FETCH_CHUNK grid (the speculative sizes are grid-rounded)."""
+        return grid_fetch_chunks(self._dense_exec(), dense, n, off)
 
     def _fetch_prefix(self, dense, n, spec):
         """Assemble dense[:n], reusing a speculative prefix fetch and

@@ -177,7 +177,7 @@ def test_rgb_image_codec_roundtrip():
     planes, tab, qstream, qwords = FU.encode_image_planes(
         jnp.asarray(pad), 1)
     dense, rows = FU.compact_planes(
-        planes[None], tab[None], FU.CODEC_NPLANES * 3 * rows0 * NB)
+        planes[None], tab[None], FU.codec_cap_words(3 * rows0 * NB))
     rows = int(np.asarray(rows)[0])
     qw = int(np.asarray(qwords))
     got = FU.decode_image_planes(np.asarray(tab),
@@ -242,8 +242,8 @@ def test_native_codec_decoder_matches_numpy():
         planes, tab, qs, qw = jax.jit(
             FU.encode_image_planes, static_argnums=1)(
                 jnp.asarray(img.astype(np.int32)), k)
-        dense, rows = FU.compact_planes(planes[None], tab[None],
-                                        16 * R * (W // 16))
+        dense, rows = FU.compact_planes(
+            planes[None], tab[None], FU.codec_cap_words(R * (W // 16)))
         nrows = int(np.asarray(rows)[0])
         nqw = int(np.asarray(qw))
         wtab = np.asarray(FU.pack_tab(tab))
@@ -259,3 +259,31 @@ def test_native_codec_decoder_matches_numpy():
     _, shipped = NC.decode_image(tab_n, np.asarray(dense)[:nrows // 2],
                                  np.asarray(qs)[:nqw], (R, W), 4)
     assert shipped == -1
+
+
+def test_codec_cap_rounds_to_compaction_unit():
+    """Full-entropy content on a block count that is NOT a multiple of
+    the 32-word compaction unit: an unrounded capacity (the round-4
+    RGB-path bug, N = 3*525*47 % 32 != 0) silently truncated the
+    trailing units.  The rounded cap must hold every plane's padded
+    prefix and round-trip exactly."""
+    import jax
+    rng = np.random.default_rng(31)
+    R, W = 75, 48                                  # N = 225 blocks, %32=1
+    N = R * (W // FU.CODEC_BW)
+    assert N % FU._CODEC_UNIT != 0
+    img = rng.integers(0, 65536, (R, W)).astype(np.uint16)
+    planes, tab, qs, qw = jax.jit(
+        FU.encode_image_planes, static_argnums=1)(
+            jnp.asarray(img.astype(np.int32)), 2)
+    cap = FU.codec_cap_words(N)
+    dense, rows = FU.compact_planes(planes[None], tab[None], cap)
+    nrows = int(np.asarray(rows)[0])
+    assert nrows <= cap
+    # white noise ships ~all 16 planes: the unrounded cap (16*N) would
+    # truncate here
+    assert nrows > 16 * N - 16 * FU._CODEC_UNIT
+    got = FU.decode_image_planes(
+        np.asarray(tab), np.asarray(dense)[:nrows],
+        np.asarray(qs)[:int(np.asarray(qw))], (R, W), 2)
+    np.testing.assert_array_equal(got, img)
