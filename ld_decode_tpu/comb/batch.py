@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -54,6 +55,8 @@ from ld_decode_tpu.comb.optflow import _farneback_jit
 # 252 rows at pyr_scale 0.5 caps the requested 4 levels to 2
 _CYSIZE, _CXSIZE = 252, IN_X - 70
 _FB_LEVELS = 2
+
+_FALLBACK_LOCK = threading.Lock()
 
 
 def _field_pics(lum: jnp.ndarray) -> jnp.ndarray:
@@ -149,6 +152,21 @@ class _RgbCodecMixin:
     """Shared encode-dispatch / prefix-fetch / decode for the batched
     comb drivers' RGB48 output."""
 
+    def _note_decode_fallback(self):
+        """Record (and, once, announce) a failed lossless-RGB decode.
+        The counter is written from up to 12 concurrent decode threads,
+        so it takes a (module-level — triggers are rare) lock; the
+        first trigger warns on stderr: a silently blacked frame in the
+        output stream must be visible to callers (ADVICE r4)."""
+        import sys
+        with _FALLBACK_LOCK:
+            n = self.stats.get('rgb_decode_fallback', 0) + 1
+            self.stats['rgb_decode_fallback'] = n
+            if n == 1:
+                print('WARNING: RGB codec consistency gate failed; '
+                      'emitting a black frame (see '
+                      'stats["rgb_decode_fallback"])', file=sys.stderr)
+
     def _codec_exec(self):
         if getattr(self, '_codec_ex', None) is None:
             # latency-shaped bad weather needs 8+ concurrent streams to
@@ -222,8 +240,7 @@ class _RgbCodecMixin:
             if img is None:
                 # consistency gate failed (short fetch / corrupt
                 # counts): a black frame beats crashing the stream
-                self.stats['rgb_decode_fallback'] = \
-                    self.stats.get('rgb_decode_fallback', 0) + 1
+                self._note_decode_fallback()
                 img = np.zeros((3 * rows0, Wp), np.uint16)
             arr = np.ascontiguousarray(
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2))

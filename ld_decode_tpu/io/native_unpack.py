@@ -1,14 +1,14 @@
 """ctypes binding for the native bit-unpack library (native/unpack.cpp).
 
-Built on demand with g++ (no pip deps); loaders.py falls back to the
-vectorized-numpy unpack when the toolchain is unavailable.
+Built per-host into the hash-keyed cache (utils/native_build.py; no pip
+deps); loaders.py falls back to the vectorized-numpy unpack when the
+toolchain is unavailable.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -17,7 +17,6 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), 'native', 'unpack.cpp')
-_SO = os.path.join(os.path.dirname(_SRC), 'libldunpack.so')
 
 
 def _load():
@@ -26,11 +25,8 @@ def _load():
         return _LIB
     _TRIED = True
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(['g++', '-O3', '-march=native', '-shared', '-fPIC',
-                            '-o', _SO, _SRC], check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO)
+        from ld_decode_tpu.utils.native_build import build_and_load
+        lib = build_and_load(_SRC, 'ldunpack')
         lib.unpack_4_40.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                     ctypes.c_void_p]
         lib.pack_4_40.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
