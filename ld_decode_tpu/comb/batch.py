@@ -125,14 +125,16 @@ def _to_rgb8(rgb):
     return (rgb >> 8).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=('cap',))
-def _rgb_encode(rgb, cap: int):
+@functools.partial(jax.jit, static_argnames=('cap', 'hpass'))
+def _rgb_encode(rgb, cap: int, hpass: bool = False):
     """Adaptive-plane codec for the RGB48 output stream (the same
     machinery as the picture codec, fused.encode_image_planes): planar
-    layout, vertical lag-1 delta per channel, per-block bit planes with
-    the Rice escape.  RGB48 is 2 MB/frame raw — the dominant D2H stream
-    of the full chain on tunneled hosts; typical comb output compresses
-    to ~0.3-0.5x and the host fetches only the used prefixes."""
+    layout, vertical lag-1 delta per channel (RGB48 adds the horizontal
+    gradient pass — fused._codec_residual hpass, 0.45x -> 0.36x raw
+    measured on real comb output), per-block bit planes with the Rice
+    escape.  RGB48 is 2 MB/frame raw — the dominant D2H stream of the
+    full chain on tunneled hosts; the host fetches only the used
+    prefixes."""
     from ld_decode_tpu.tbc import fused as FU
     E, rows0, W, _ = rgb.shape
     img = jnp.moveaxis(rgb, 3, 1).reshape(E, 3 * rows0, W).astype(jnp.int32)
@@ -140,7 +142,7 @@ def _rgb_encode(rgb, cap: int):
     if Wp != W:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, Wp - W)), mode='edge')
     planes, tab, qstreams, qwords = jax.vmap(
-        lambda im: FU.encode_image_planes(im, 1))(img)
+        lambda im: FU.encode_image_planes(im, 1, hpass))(img)
     dense, rows = FU.compact_planes(planes, tab, cap)
     qcap = FU.codec_qcap_words(3 * rows0, Wp // FU.CODEC_BW) * E
     dense_q, qw = FU.compact_qstreams(qstreams, qwords, qcap)
@@ -184,7 +186,11 @@ class _RgbCodecMixin:
         # unrounded cap truncates the trailing units whenever
         # 3*rows0*NB % 32 != 0 (e.g. the 525-line -L mode)
         cap = FU.codec_cap_words(3 * rows0 * (Wp // FU.CODEC_BW), E)
-        dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap)
+        # the 2D gradient pass pays on full-depth RGB48 only (rgb8's
+        # residuals are already near the noise floor; the pass loses
+        # 0.082x -> 0.091x there — probe_codec_rate.py)
+        hpass = not out8
+        dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap, hpass)
         # submission order matters: rows/wtab before fetch_decode, so
         # the FIFO pool can never park fetch_decode ahead of the
         # futures it joins
@@ -208,6 +214,7 @@ class _RgbCodecMixin:
         from ld_decode_tpu.tbc import native_codec as NC
         from ld_decode_tpu.tbc.pipeline import grid_fetch_chunks
         E, rows0, W, out8 = shape
+        hpass = not out8              # must mirror _codec_dispatch
         rows2 = fut_rows.result().astype(np.int64)
         ex = self._codec_exec()
         futs_d = grid_fetch_chunks(ex, denses[0], int(rows2[0].sum()))
@@ -229,14 +236,16 @@ class _RgbCodecMixin:
             img = None
             if native:
                 tab = NC.unpack_tab(wtab[e], 3 * rows0 * NB)
-                got = NC.decode_image(tab, dv, qv, (3 * rows0, Wp), 1)
+                got = NC.decode_image(tab, dv, qv, (3 * rows0, Wp), 1,
+                                      hpass)
                 if got is not None and got[1] == rows2[0][e]:
                     img = got[0]
             if img is None and not native:
                 tab = FU.unpack_tab(wtab[e], 3 * rows0, NB)
                 if FU.shipped_plane_words_np(tab & 0x1F) == rows2[0][e]:
                     img = FU.decode_image_planes(tab, dv, qv,
-                                                 (3 * rows0, Wp), 1)
+                                                 (3 * rows0, Wp), 1,
+                                                 hpass=hpass)
             if img is None:
                 # consistency gate failed (short fetch / corrupt
                 # counts): a black frame beats crashing the stream

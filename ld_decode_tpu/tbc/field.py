@@ -68,6 +68,11 @@ class FieldResult:
     # flushes.  -1 = the window started exactly at the caller's request
     # (sequential paths).
     readsample: int = -1
+    # device-computed white flag (fused.pipeline_finish meta word 7):
+    # set by the batched pipeline so metadata words stay correct in
+    # device-chain mode where dspicture never reaches the host; None on
+    # the sequential paths (the host slicer computes it from dspicture).
+    white_flag: Optional[bool] = None
 
 
 def hsync_stats(vals: np.ndarray) -> Tuple[float, float]:

@@ -221,11 +221,24 @@ def codec_qcap_words(R: int, NB: int) -> int:
     return -(-R * NB * (CODEC_QCAP_BITS // 16) // 8) * 8
 
 
-def _codec_residual(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(R, C) int image -> (R, C) zigzagged mod-2^16 residual."""
+def _codec_residual(x: jnp.ndarray, k: int,
+                    hpass: bool = False) -> jnp.ndarray:
+    """(R, C) int image -> (R, C) zigzagged mod-2^16 residual.
+
+    hpass=True adds a horizontal lag-1 pass over the body rows'
+    vertical deltas (the 2D gradient predictor x-up-left+upleft): on
+    the comb's RGB48 stream the vertical residual is horizontally
+    bandlimited chroma leakage, and the extra pass measures 0.45x ->
+    0.36x raw (scripts/probe_codec_rate.py rate_rgb); on the .tbc
+    picture and 8-bit RGB it LOSES (noise boost > structure), so it is
+    off there."""
     x = x.astype(jnp.int32)
     head = jnp.concatenate([x[:k, :1], x[:k, 1:] - x[:k, :-1]], axis=1)
-    r = jnp.concatenate([head, x[k:] - x[:-k]], axis=0)
+    body = x[k:] - x[:-k]
+    if hpass:
+        body = jnp.concatenate([body[:, :1], body[:, 1:] - body[:, :-1]],
+                               axis=1)
+    r = jnp.concatenate([head, body], axis=0)
     ds = ((r + 0x8000) & 0xFFFF) - 0x8000
     return ((ds << 1) ^ (ds >> 15)) & 0xFFFF
 
@@ -255,17 +268,17 @@ def _popcount16(v: jnp.ndarray) -> jnp.ndarray:
     return (v + (v >> 8)) & 0x1F
 
 
-def encode_image_planes(x: jnp.ndarray, k: int):
+def encode_image_planes(x: jnp.ndarray, k: int, hpass: bool = False):
     """Codec encode of one (R, C) u16/int image (C % CODEC_BW == 0).
 
     Returns (planes (16, R, NB) u16 one-bit-plane words,
     tab (R, NB) i32 6-bit table values `nwords | mode<<5`,
     qstream (codec_qcap_words,) u16 unary quotient bitstream,
     qwords () i32 used stream words).  Also used for the comb's RGB48
-    output (k=1, planar)."""
+    output (k=1, planar, hpass=True — see _codec_residual)."""
     R, C = x.shape
     NB = C // CODEC_BW
-    z = _codec_residual(x, k)
+    z = _codec_residual(x, k, hpass)
     zb = z.reshape(R, NB, CODEC_BW)
 
     # plane words via the 4-stage bit-matrix butterfly (vs the naive 16
@@ -361,7 +374,7 @@ def bcls_words(R: int, NB: int) -> int:
 
 def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
                         qstream: np.ndarray, shape, k: int,
-                        rank_gt=None) -> np.ndarray:
+                        rank_gt=None, hpass: bool = False) -> np.ndarray:
     """Invert encode_image_planes for one image from its contiguous
     dense plane region + quotient stream (host).  tab: (R, NB) 6-bit
     table values (see unpack_tab).  rank_gt: optional precomputed
@@ -406,6 +419,8 @@ def decode_image_planes(tab: np.ndarray, dense_words: np.ndarray,
                     ).astype(np.int32)
     z = z.reshape(R, C)
     d = ((z >> 1) ^ -(z & 1))                      # un-zigzag
+    if hpass:                                      # invert the h pass
+        d[k:] = np.cumsum(d[k:], axis=1)
     x = np.zeros((R, C), np.int32)
     x[:k] = np.cumsum(d[:k], axis=1)               # head rows: h-delta
     for c in range(k):                             # vertical chains
@@ -1126,8 +1141,9 @@ def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
     shipped separately (per-block adaptive codec: only the packed
     6-bit mode+count table rides the bundle; the dense bit planes and
     the quotient streams go out as batch-level prefix-fetched buffers),
-    plus per-field meta (valid/istop/lc/nfo/npeaks/nvsyncs/readsample
-    int32 words, then the audio offset this field consumed)."""
+    plus per-field meta (valid/istop/lc/nfo/npeaks/nvsyncs/readsample/
+    white-flag int32 words, then the audio offset this field
+    consumed)."""
     L, W, Wp, W4, k = pic_codec_params(cfg)
     nlines = max_nlines(cfg)
     ncl = len(cfg.sys.philips_codelines)
@@ -1141,7 +1157,7 @@ def pipeline_bundle_spec(cfg: DecoderConfig) -> BundleSpec:
         ('philips_ok', (ncl,), np.int32),
         ('audio_count', (1,), np.int32),
         ('audio_next_offset', (1,), np.float32),
-        ('meta_i', (7,), np.int32),
+        ('meta_i', (8,), np.int32),
         ('meta_f', (1,), np.float32),
     ])
 
@@ -1268,8 +1284,24 @@ def pipeline_finish(video, audio1, lld, lc, valid, istop, nfo, nv, vs_count,
         dense_q = jnp.zeros(8, jnp.uint16)
         rows2 = jnp.zeros((2, starts.shape[0]), jnp.int32)
 
+    # white flag on device (reference tbc.cpp:1633-1644, same row
+    # window + threshold arithmetic as vbi/metadata.white_flag): in
+    # device-chain mode the picture never reaches the host, so the
+    # host slicer cannot compute it — ship the bit in the meta words
+    # instead (and everywhere else too: one code path, bit-equal).
+    W = cfg.sys.outlinelen
+    out_scale = ((0xc800 - 0x0400) if cfg.system == 'NTSC'
+                 else (0xd300 - 0x0100)) / (100 - cfg.sys.vsync_ire)
+    pic_off = 1024 if cfg.system == 'NTSC' else 256
+    thresh = (80.0 - cfg.sys.vsync_ire) * out_scale + pic_off
+    wrows = pic.reshape(starts.shape[0], max_lc, W)[:, 8:12, 2:]
+    white = jnp.any(
+        jnp.sum(wrows.astype(jnp.float32) > jnp.float32(thresh),
+                axis=2) >= 200, axis=1) & (lc > 11)
+
     meta_i = jnp.stack([valid.astype(jnp.int32), istop.astype(jnp.int32),
-                        lc, nfo, nv, vs_count, starts], axis=1)
+                        lc, nfo, nv, vs_count, starts,
+                        white.astype(jnp.int32)], axis=1)
     meta = jax.vmap(lambda mi, mf: pack_bundle([mi, mf.reshape(1)]))(
         meta_i, offs_used)
     bundle = jnp.concatenate([jax.vmap(pack_tab)(tab),

@@ -35,7 +35,7 @@ def _selftest(lib) -> bool:
     q = np.zeros(8, np.uint16)
     out = np.empty((1, 16), np.uint16)
     shipped = lib.codec_decode(tab.ctypes.data, dense.ctypes.data, 64,
-                               q.ctypes.data, 8, 1, 1, 1,
+                               q.ctypes.data, 8, 1, 1, 1, 0,
                                out.ctypes.data)
     want = np.zeros((1, 16), np.uint16)
     want[0, 0] = 1
@@ -55,7 +55,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p]
+            ctypes.c_int64, ctypes.c_void_p]
         lib.unpack_tab6.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_void_p]
         _LIB = lib if _selftest(lib) else None
@@ -69,7 +69,7 @@ def available() -> bool:
 
 
 def decode_image(tab: np.ndarray, dense: np.ndarray, qstream: np.ndarray,
-                 shape, k: int):
+                 shape, k: int, hpass: bool = False):
     """(image (R, C) u16, shipped_words) or None if the native lib is
     unavailable; shipped_words = -1 flags short buffers (caller falls
     back).  tab: (R, NB) or flat 6-bit table values."""
@@ -84,7 +84,7 @@ def decode_image(tab: np.ndarray, dense: np.ndarray, qstream: np.ndarray,
     shipped = lib.codec_decode(
         tab.ctypes.data, dense.ctypes.data, len(dense),
         qstream.ctypes.data, len(qstream),
-        R, C // 16, k, out.ctypes.data)
+        R, C // 16, k, int(hpass), out.ctypes.data)
     return out, int(shipped)
 
 

@@ -352,7 +352,7 @@ class FieldPrefetcher:
         clean = True
         for b in range(self.batch):
             data = spec.unpack(buf[b])
-            valid, istop, lc, nfo, npk, nvs, rs = (
+            valid, istop, lc, nfo, npk, nvs, rs, wf = (
                 int(x) for x in data['meta_i'])
             if not valid or rs <= prev_rs:
                 # invalid field, or EOF window clamp: keep the prefix;
@@ -372,7 +372,7 @@ class FieldPrefetcher:
                 peak_count=npk, vsync_count=nvs, linelocs=linelocs,
                 burstlevel=data['burstlevel'].astype(np.float64)[:nlines],
                 vbi=interpret_philips(linecode), linecode=linecode,
-                readsample=rs_abs)
+                readsample=rs_abs, white_flag=bool(wf))
             if dec.bank.has_audio:
                 nout = (int(data['audio_count'][0]) - 1) * 2
                 r.dsaudio = data['audio'][:nout]

@@ -90,13 +90,21 @@ def frame_metadata_words(fields, vbi: Dict, cfg) -> np.ndarray:
     scale = ((0xc800 - 0x0400) if cfg.system == 'NTSC'
              else (0xd300 - 0x0100)) / (100 - cfg.sys.vsync_ire)
     off = 1024 if cfg.system == 'NTSC' else 256
-    if fields[0] is not None and white_flag(
-            fields[0].dspicture, W, fields[0].linecount, 11, scale, off,
-            cfg.sys.vsync_ire):
+
+    def field_white(f) -> bool:
+        if f is None:
+            return False
+        if f.dspicture is None:
+            # device-chain mode: the picture never reaches the host —
+            # use the bit the fused pipeline computed on device (same
+            # row window / threshold; fused.pipeline_finish)
+            return bool(getattr(f, 'white_flag', None))
+        return white_flag(f.dspicture, W, f.linecount, 11, scale, off,
+                          cfg.sys.vsync_ire)
+
+    if field_white(fields[0]):
         flags |= FRAME_INFO_WHITE_ODD
-    if fields[1] is not None and white_flag(
-            fields[1].dspicture, W, fields[1].linecount, 11, scale, off,
-            cfg.sys.vsync_ire):
+    if field_white(fields[1]):
         flags |= FRAME_INFO_WHITE_EVEN
 
     words[12] = (flags >> 16) & 0xFFFF

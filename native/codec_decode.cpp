@@ -14,7 +14,9 @@
 //    (q zeros then a stop 1) to a little-endian bitstream; sample j of
 //    block i adds q << nwords[i].
 //  - residual: zigzag of mod-2^16 vertical lag-k delta (head k rows:
-//    horizontal lag-1 delta).
+//    horizontal lag-1 delta).  hpass=1 adds a horizontal lag-1 pass
+//    over the body rows' vertical deltas (the 2D gradient predictor
+//    used for the comb's RGB48 stream — fused._codec_residual).
 //
 // Returns the total shipped dense words (the caller compares against
 // the device-reported count as the consistency gate), or -1 if the
@@ -30,7 +32,7 @@ extern "C" int64_t codec_decode(
     int64_t dense_len,
     const uint16_t* qstream,    // unary quotient bitstream words
     int64_t q_len,
-    int64_t R, int64_t NB, int64_t k,
+    int64_t R, int64_t NB, int64_t k, int64_t hpass,
     uint16_t* out)              // (R, NB*16) u16, written fully
 {
     const int64_t N = R * NB;
@@ -105,6 +107,17 @@ extern "C" int64_t codec_decode(
                 const int32_t d = (zz >> 1) ^ -(zz & 1);
                 acc += (uint32_t)d;
                 xr[c] = (uint16_t)acc;
+            }
+        } else if (hpass) {
+            // body rows carry h-deltas of the v-delta: one running
+            // accumulator inverts both passes in a single sweep
+            const uint16_t* xp = &out[(r - k) * C];
+            uint32_t acc = 0;
+            for (int64_t c = 0; c < C; c++) {
+                const int32_t zz = zr[c];
+                const int32_t d = (zz >> 1) ^ -(zz & 1);
+                acc += (uint32_t)d;
+                xr[c] = (uint16_t)(xp[c] + acc);
             }
         } else {
             const uint16_t* xp = &out[(r - k) * C];

@@ -194,10 +194,102 @@ def rate_v4():
               f'(exact on {len(st)} real fields)')
 
 
+def collect_rgb(nframes=8):
+    """Real comb RGB48 output for the -F (noflow) chain: decode the
+    cached clean capture on CPU, run the K-map 3D comb, store the RGB
+    frames (~/.cache/ldd_tpu_rgb_noflow_v1.npy).  This is the stream
+    whose 0.527x-raw codec rate capped full_chain_noflow below real
+    time in BENCH_r04 — rate levers must be measured on it, not on
+    synthetic pictures (round-3 lesson)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from ld_decode_tpu.utils.params import DecoderConfig
+    from ld_decode_tpu.ops import filters as F
+    from ld_decode_tpu.tbc import framer as FR
+    from ld_decode_tpu.comb.comb_ntsc import NTSCComb, CombConfig
+
+    out = os.path.expanduser('~/.cache/ldd_tpu_rgb_noflow_v1.npy')
+    if os.path.exists(out):
+        print(f'# rgb: cached {out}')
+        return
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    bank = F.make_demod_bank(cfg, dtype=np.complex64)
+    samples = bench.capture_for('clean', {})
+    fr = FR.Framer(cfg, bank, capture=samples, batch=8, nblocks=52)
+    comb = NTSCComb(CombConfig(dim=3, opticalflow=False))
+    rgbs = []
+    f, rs, s = fr.readfield(None, 33046)
+    rv = fr.readframe(None, s, True)
+    while rv[0] is not None and len(rgbs) < nframes:
+        rgb = comb.process(rv[0].reshape(525, 910))
+        if rgb is not None:
+            rgbs.append(np.asarray(rgb))
+        rv = fr.readframe(None, rv[2], False)
+    stack = np.stack(rgbs)
+    np.save(out, stack)
+    print(f'# rgb: saved {stack.shape} -> {out}')
+
+
+def _shipped_rate(img, k):
+    """Exact shipped fraction of one int image through the real codec
+    (encode + compact + tab words), vs 16 bits/sample raw."""
+    import jax.numpy as jnp
+    from ld_decode_tpu.tbc import fused as FU
+    R, W = img.shape
+    Wp = -(-W // BW) * BW
+    fp = np.pad(img.astype(np.int32), ((0, 0), (0, Wp - W)), mode='edge')
+    planes, tab, qs, qw = FU.encode_image_planes(jnp.asarray(fp), k)
+    dense, rows = FU.compact_planes(
+        planes[None], tab[None], FU.codec_cap_words(R * (Wp // BW)))
+    rows = int(np.asarray(rows)[0])
+    qwn = int(np.asarray(qw))
+    tabw = FU.tab_words(tab.size)
+    return (rows + qwn + tabw) * 16 / (img.size * 16)
+
+
+def rate_rgb():
+    """Codec rate of the comb RGB48 stream: shipped planar layout vs
+    the reversible color transform [G, R-G, B-G] (mod-2^16 — exact
+    integer inverse, so RGB output is bit-identical; the difference
+    planes carry only the bandlimited chroma, so the luma entropy that
+    all three channels share is paid once instead of three times).
+    Run `collect_rgb` first."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.expanduser('~/.cache/ldd_tpu_rgb_noflow_v1.npy')
+    st = np.load(path)                       # (N, rows, W, 3) u16
+    nrows = st.shape[1]
+    for name, tr in [
+        ('plain', lambda f: np.moveaxis(f, 2, 0).astype(np.int32)),
+        ('rct', lambda f: np.stack([
+            f[..., 1].astype(np.int32),
+            (f[..., 0].astype(np.int32) - f[..., 1]) & 0xFFFF,
+            (f[..., 2].astype(np.int32) - f[..., 1]) & 0xFFFF])),
+    ]:
+        for kname, k in [('v1', 1), ('h', 3 * nrows)]:
+            for tag, prep in [('rgb48', lambda f: f),
+                              ('rgb8', lambda f: f >> 8)]:
+                rates = [
+                    _shipped_rate(tr(prep(f)).reshape(-1, f.shape[1]), k)
+                    for f in st]
+                r = float(np.mean(rates))
+                print(f'{tag} {name} {kname}: {r:.3f}x raw '
+                      f'({r * st[0].size * 2 / 1e6:.2f} MB/frame)')
+
+
 if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'rate'
     if which == 'collect':
         collect(tuple(sys.argv[2:]) or ('clean', 'noisy'))
+    elif which == 'collect_rgb':
+        collect_rgb()
+    elif which == 'rate_rgb':
+        rate_rgb()
     elif which == 'v4':
         rate_v4()
     else:

@@ -50,6 +50,35 @@ def test_device_chain_audio_matches(frames_pair):
             np.testing.assert_array_equal(np.asarray(ah), np.asarray(ad))
 
 
+def test_device_chain_white_flag():
+    """CAV white-flagged content: the device-chain path (no host
+    picture) must still set FRAME_INFO_WHITE_ODD/EVEN — the flag is
+    computed on device (fused.pipeline_finish meta word 7) and must
+    agree bit-for-bit with the host slicer's metadata words."""
+    from ld_decode_tpu.vbi.metadata import (FRAME_INFO_WHITE_EVEN,
+                                            FRAME_INFO_WHITE_ODD)
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 5, E.EncodeSpec(pattern='ramp',
+                                                   white_flag=True))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr_host = FR.Framer(cfg, bank, capture=samples, batch=5)
+    fr_dev = FR.Framer(cfg, bank, capture=samples, batch=5,
+                       fetch_picture=False)
+    s1 = s2 = 33046
+    seen_white = False
+    for i in range(2):
+        rv1 = fr_host.readframe(None, s1, i == 0)
+        rv2 = fr_dev.readframe(None, s2, i == 0)
+        assert rv1[0] is not None and rv2[0] is not None
+        wh = int(np.asarray(rv1[0])[13])
+        wd = int(np.asarray(rv2[0])[13])
+        assert wh == wd
+        if wh & (FRAME_INFO_WHITE_ODD | FRAME_INFO_WHITE_EVEN):
+            seen_white = True
+        s1, s2 = rv1[2], rv2[2]
+    assert seen_white, 'white-flag pattern produced no white-flag bits'
+
+
 def test_comb_accepts_device_frames(frames_pair):
     """comb.feed on device frames produces the same RGB as on np
     frames (no host round trip on the way in)."""

@@ -190,6 +190,47 @@ def test_rgb_image_codec_roundtrip():
     assert (rows + qw) * 2 < 0.45 * img.nbytes
 
 
+def test_rgb_codec_hpass_roundtrip_and_rate():
+    """hpass=True (the 2D gradient predictor the RGB48 stream uses,
+    comb/batch._rgb_encode): exact round trip through BOTH decoders,
+    and a real win over v-only when the vertical residual is
+    horizontally smooth (the comb's bandlimited chroma leakage — the
+    full_chain_noflow blocker, VERDICT r4 #1)."""
+    import jax
+    from scipy.ndimage import uniform_filter1d
+    from ld_decode_tpu.tbc import native_codec as NC
+    rng = np.random.default_rng(13)
+    R, W = 360, 736
+    # horizontally-smooth per-line noise over a vertical gradient:
+    # models the comb RGB residual structure measured in
+    # scripts/probe_codec_rate.py
+    noise = uniform_filter1d(
+        rng.normal(0, 60, (R, W)), 9, axis=1).astype(np.int64)
+    img = ((8000 + 37 * np.arange(R)[:, None] + noise) & 0xFFFF
+           ).astype(np.uint16)
+    used = {}
+    for hp in (False, True):
+        planes, tab, qs, qw = jax.jit(
+            FU.encode_image_planes, static_argnums=(1, 2))(
+                jnp.asarray(img.astype(np.int32)), 1, hp)
+        dense, rows = FU.compact_planes(
+            planes[None], tab[None], FU.codec_cap_words(R * (W // 16)))
+        nrows = int(np.asarray(rows)[0])
+        nqw = int(np.asarray(qw))
+        got = FU.decode_image_planes(
+            np.asarray(tab), np.asarray(dense)[:nrows],
+            np.asarray(qs)[:nqw], (R, W), 1, hpass=hp)
+        np.testing.assert_array_equal(got, img)
+        if NC.available():
+            gn, shipped = NC.decode_image(
+                np.asarray(tab).reshape(-1), np.asarray(dense)[:nrows],
+                np.asarray(qs)[:nqw], (R, W), 1, hpass=hp)
+            assert shipped == nrows
+            np.testing.assert_array_equal(gn, img)
+        used[hp] = nrows + nqw
+    assert used[True] < 0.8 * used[False]
+
+
 def test_bit_transpose_and_popcount_primitives():
     """The butterfly bit-transpose must equal the definitional 16-pass
     plane extraction, and _popcount16 the definitional bit count (these
