@@ -64,6 +64,15 @@ def parse_args(argv=None):
                         'app/tbc -s flag — the decode still runs the full '
                         'TBC because the 48 kHz chase resampler needs the '
                         'line clock)')
+    p.add_argument('--efm', action='store_true',
+                   help='additionally extract LaserDisc digital audio: '
+                        'band-split the EFM carrier from the composite '
+                        'RF, decode EFM -> CIRC -> Q subcode, write '
+                        '<out>.efm.pcm (stereo s16 44.1 kHz) and '
+                        '<out>.subcode.log (valid Q packets + CIRC '
+                        'stats).  Decodes the same -s/-S/-l frame span '
+                        'as the video (held in host memory: ~2.7 MB '
+                        'per NTSC frame)')
     p.add_argument('-q', '--quiet', action='store_true',
                    help='warnings and errors only')
     p.add_argument('-d', '--debug', action='store_true',
@@ -122,6 +131,7 @@ def main(argv=None):
             return 1
     else:
         nextsample = args.start * samples_per_frame
+    first_sample = nextsample             # EFM span start (below)
 
     if args.cut:
         outfile = open(args.outfile + '.r16', 'wb')
@@ -170,6 +180,38 @@ def main(argv=None):
     if out_video is not None:
         out_video.close()
     out_audio.close()
+
+    if args.efm:
+        # digital audio rides the composite below the video FM
+        # (reference attic2/cd-decoder.py:330-443 prototype; ours adds
+        # CIRC correction + Q subcode).  One-shot decode over the same
+        # frame span the video pass used — the EFM frame stream and
+        # CIRC interleave are continuous, so the span loads whole.
+        from ld_decode_tpu.audio import efm as EFM
+        span0 = int(first_sample)
+        want = int((num_frames + 2) * samples_per_frame)
+        data = L.load_available(loader, fd, span0, want,
+                                samples_per_frame // 4)
+        if data is None:
+            log.critical('EFM: no samples readable at decode start')
+            return 1
+        arr = np.asarray(data)
+        if np.issubdtype(arr.dtype, np.signedinteger):
+            arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
+        dec = EFM.decode_digital_audio_from_rf(arr, cfg.freq_hz)
+        with open(args.outfile + '.efm.pcm', 'wb') as f:
+            f.write(np.asarray(dec['samples'], '<i2').tobytes())
+        with open(args.outfile + '.subcode.log', 'w') as f:
+            nfr = len(dec['controls'])
+            f.write(f'# frames={nfr} '
+                    f'c1_ok={int(dec["c1_ok"].sum())} '
+                    f'c1_corrected={int(dec.get("c1_corrected", np.zeros(0)).sum())} '
+                    f'c2_ok={int(dec["c2_ok"].sum())} '
+                    f'c2_corrected={int(dec.get("c2_corrected", np.zeros(0)).sum())}\n')
+            for q in dec['q']:
+                f.write(repr(q) + '\n')
+        log.info(f'EFM: {dec["samples"].shape[0]} digital-audio samples, '
+                 f'{len(dec["q"])} valid Q packets')
     return 0
 
 

@@ -104,6 +104,52 @@ def test_full_digital_audio_chain_roundtrip():
     assert dec2['c1_corrected'].sum() + (~dec2['c1_ok']).sum() > 0
 
 
+def test_cli_efm_extraction(tmp_path):
+    """`lddecode_tpu.py --efm`: a user can pull the digital audio out
+    of a composite RF capture in the same CLI run that decodes the
+    video (round-4 verdict #6) — known PCM comes back in
+    <out>.efm.pcm and the Q-subcode log is written."""
+    import sys
+    from ld_decode_tpu.audio import efm as E2
+    from ld_decode_tpu.models import encode as EM
+    from ld_decode_tpu.io import loaders as L
+    from ld_decode_tpu.utils.params import DecoderConfig
+
+    rng = np.random.default_rng(11)
+    nf = 240
+    pcm = rng.integers(-30000, 30000, (nf * 6, 2)).astype(np.int16)
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    wave = E2.encode_digital_audio(pcm, cfg.freq_hz)
+    rf = EM.encode_frames(
+        cfg, 3, EM.EncodeSpec(pattern='bars', cav_start_frame=900,
+                              noise_rms=0.01),
+        extra_baseband=0.25 * wave)
+    lds = tmp_path / 'cap.lds'
+    lds.write_bytes(L.pack_data_4_40(rf).tobytes())
+
+    sys.path.insert(0, '/root/repo')
+    import lddecode_tpu
+    rc = lddecode_tpu.main([str(lds), str(tmp_path / 'out'), '-n',
+                            '--efm', '-l', '1'])
+    assert rc == 0
+    got = np.fromfile(tmp_path / 'out.efm.pcm', '<i2').reshape(-1, 2)
+    assert got.shape[0] >= (nf - 8) * 6
+    # known PCM comes back (same assertion level as the module-level
+    # composite test: a clean mid-stream stretch, frame-sync offset
+    # tolerated)
+    lo = 120
+    off = next(o for o in range(0, 4)
+               if (got[lo * 6:lo * 6 + 60]
+                   == pcm[(lo + o) * 6:(lo + o) * 6 + 60]).all())
+    assert (got[lo * 6:lo * 6 + 120]
+            == pcm[(lo + off) * 6:(lo + off) * 6 + 120]).all()
+    log = (tmp_path / 'out.subcode.log').read_text()
+    assert log.startswith('# frames=')
+    # the video side of the same run stayed intact
+    tbc = np.fromfile(tmp_path / 'out.tbc', np.uint16)
+    assert len(tbc) == 910 * 525
+
+
 def test_digital_audio_from_composite_rf():
     """EFM mixed UNDER a real synthetic capture (video FM + analog audio
     carriers + RF noise), band-split back out of the composite and decoded
