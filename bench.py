@@ -237,9 +237,10 @@ class _ChainStage:
                        # native decode of window k overlaps the decode
                        # of the next DEPTH*CB frames
 
-    def __init__(self, tag, jobs, out8=False, opticalflow=True):
+    def __init__(self, tag, jobs, out8=False, opticalflow=True,
+                 pal=False):
         self.tag, self.jobs = tag, jobs
-        self.out8, self.opticalflow = out8, opticalflow
+        self.out8, self.opticalflow, self.pal = out8, opticalflow, pal
         self.rates = []
         self.fr = None
 
@@ -249,22 +250,32 @@ class _ChainStage:
         from ld_decode_tpu.utils.params import DecoderConfig
         from ld_decode_tpu.ops import filters as F
         from ld_decode_tpu.tbc import framer as FR
-        from ld_decode_tpu.comb.batch import NTSCCombBatch
-        from ld_decode_tpu.comb.comb_ntsc import CombConfig
         from ld_decode_tpu.audio.cx import CXExpander
-        cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+        system = 'PAL' if self.pal else 'NTSC'
+        cfg = DecoderConfig(system=system, freq_mhz=40.0)
         self.spf = cfg.freq_hz / cfg.sys.fps
+        self.fshape = (cfg.sys.frame_lines, cfg.sys.outlinelen)
+        self.start = 2560 * 14 if self.pal else 33046
         bank = F.make_demod_bank(cfg, dtype=np.complex64)
-        samples = capture_for('clean', self.jobs)
+        samples = capture_for('pal' if self.pal else 'clean', self.jobs)
         # fetch_picture=False: the .tbc picture stays device-resident
         # (the comb reads HBM directly through the device weave) — no
         # picture codec compute, no picture D2H, no host decode, no
         # re-upload; only RGB + audio come down
         self.fr = FR.Framer(cfg, bank, capture=samples, batch=16,
-                            nblocks=52, fetch_picture=False)
-        self.comb = NTSCCombBatch(
-            CombConfig(dim=3, opticalflow=self.opticalflow),
-            out8=self.out8)
+                            nblocks=56 if self.pal else 52,
+                            fetch_picture=False)
+        if self.pal:
+            from ld_decode_tpu.comb.batch import PALCombBatch
+            from ld_decode_tpu.comb.comb_pal import CombPALConfig
+            self.comb = PALCombBatch(CombPALConfig(dim=3),
+                                     out8=self.out8)
+        else:
+            from ld_decode_tpu.comb.batch import NTSCCombBatch
+            from ld_decode_tpu.comb.comb_ntsc import CombConfig
+            self.comb = NTSCCombBatch(
+                CombConfig(dim=3, opticalflow=self.opticalflow),
+                out8=self.out8)
         self.cx = CXExpander()
         from collections import deque
         self.sink = {'rgb': 0, 'pcm': 0, 'buf': [], 'pending': deque()}
@@ -282,7 +293,9 @@ class _ChainStage:
                 frames = jnp.stack([jnp.asarray(x) for x in b])
             else:
                 frames = np.stack(b)
-            self.sink['pending'].append(self.comb.feed(frames))
+            h = self.comb.feed(frames)
+            if h is not None:
+                self.sink['pending'].append(h)
             self.sink['buf'] = []
         limit = 0 if drain else self.DEPTH
         while len(self.sink['pending']) > limit:
@@ -290,7 +303,7 @@ class _ChainStage:
 
     def _chain(self, rv):
         # np or device frame — both reshape without a copy
-        self.sink['buf'].append(rv[0].reshape(525, 910))
+        self.sink['buf'].append(rv[0].reshape(*self.fshape))
         if len(self.sink['buf']) == self.CB:
             self._flush()
         if rv[1] is not None:
@@ -300,7 +313,7 @@ class _ChainStage:
     def visit(self, npasses):
         self._ensure()
         self.fr.prefetcher.flush()
-        s = warmup_framer(self.fr, 33046)
+        s = warmup_framer(self.fr, self.start)
         t0 = time.time()
         # fill (+ compile) the whole pending-window pipeline
         for _ in range(self.CB * (self.DEPTH + 1)):
@@ -309,12 +322,31 @@ class _ChainStage:
             s = rv[2]
         print(f'# {self.tag} window fill: {time.time() - t0:.1f}s',
               file=sys.stderr)
+        # burn-in, same honesty rule as the decode stages: warmup+fill
+        # leave (DEPTH+1)*batch fields pre-decoded in the prefetcher's
+        # speculative queue, so a pass served from that backlog measures
+        # the RGB fetch alone (r5 recorded systematic 62-vs-23 pass
+        # pairs from exactly this).  Drain to steady state untimed.
+        nburn = ((self.fr.prefetcher.DEPTH + 1) * 16 + 1) // 2
+        t0 = time.time()
+        for _ in range(nburn):
+            rv = self.fr.readframe(None, s, False)
+            if rv[0] is None:
+                break
+            self._chain(rv)
+            s = rv[2]
+        print(f'# {self.tag} burn-in: {nburn} frames in '
+              f'{time.time() - t0:.1f}s', file=sys.stderr)
         self.rates.extend(sustained_passes(
-            self.fr, s, 24, npasses, self.spf, self.tag,
-            per_frame=self._chain))
+            self.fr, s, 24 if not self.pal else 20, npasses, self.spf,
+            self.tag, per_frame=self._chain))
         self._flush(drain=True)
+        sw = self.comb.stats.get('shipped_u16', 0)
+        nf = self.comb.stats.get('frames_out', 0)
+        rate = (2 * sw / nf / 1e6) if nf else 0.0
         print(f'# {self.tag} output so far: '
-              f'{self.sink["rgb"] / 1e6:.1f} MB RGB, '
+              f'{self.sink["rgb"] / 1e6:.1f} MB RGB decoded '
+              f'({rate:.2f} MB/frame shipped over {nf} frames), '
               f'{self.sink["pcm"] / 1e6:.1f} MB CX audio', file=sys.stderr)
         self.fr.prefetcher.flush()
 
@@ -370,15 +402,17 @@ def main():
     ch_flow = _ChainStage('full-chain', jobs)
     ch_rgb8 = _ChainStage('full-chain-8bit', jobs, out8=True)
     ch_noflow = _ChainStage('full-chain-noflow', jobs, opticalflow=False)
+    ch_pal = _ChainStage('pal-chain', jobs, pal=True)
 
     # round-robin schedule: every metric's pass-sets are spread across
     # the whole run so no single weather event owns any stage's median
     schedule = [
         (head, 2), (ch_noflow, 2), (pal, 2), (ch_flow, 2), (head, 2),
-        (ch_rgb8, 2), (noisy, 2), (ch_noflow, 2), (pal, 2), (ch_flow, 2),
-        (head, 2), (noisy, 1), (ch_rgb8, 2), (ch_noflow, 2), (head, 2),
+        (ch_pal, 2), (ch_rgb8, 2), (noisy, 2), (ch_noflow, 2), (pal, 2),
+        (ch_flow, 2), (head, 2), (noisy, 1), (ch_rgb8, 2), (ch_pal, 1),
+        (ch_noflow, 2), (head, 2),
     ]
-    optional = {noisy, pal, ch_flow, ch_rgb8, ch_noflow}
+    optional = {noisy, pal, ch_flow, ch_rgb8, ch_noflow, ch_pal}
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     for i, (stage, n) in enumerate(schedule):
         if profile_dir and i == 0:
@@ -436,7 +470,7 @@ def main():
     # once, with every pass still recorded (median over everything —
     # evidence-preserving, not cherry-picking)
     if max(extra['d2h_probe_MBps']) >= COLLAPSE_MBPS:
-        for stage in (pal, noisy, ch_flow, ch_rgb8, ch_noflow):
+        for stage in (pal, noisy, ch_flow, ch_rgb8, ch_noflow, ch_pal):
             if stage.rates and median(stage.rates) < BASELINE:
                 try:
                     stage.visit(2)
@@ -446,9 +480,14 @@ def main():
 
     headline = median(head.rates)
     extra['ntsc_pass_rates'] = [round(r, 1) for r in head.rates]
+    # which picture-transfer mode the link-adaptive choice picked
+    # (pipeline.probed_link_rate vs RAW_PIC_MBPS)
+    if head.fr is not None and head.fr.prefetcher is not None:
+        extra['pic_mode'] = head.fr.prefetcher.stats.get('pic_mode')
     for st, key in ((noisy, 'ntsc_noisy'), (pal, 'pal'),
                     (ch_flow, 'full_chain'), (ch_rgb8, 'full_chain_rgb8'),
-                    (ch_noflow, 'full_chain_noflow')):
+                    (ch_noflow, 'full_chain_noflow'),
+                    (ch_pal, 'pal_chain')):
         if st.rates:
             extra[f'{key}_MSa_s'] = round(median(st.rates), 2)
             extra[f'{key}_pass_rates'] = [round(r, 1) for r in st.rates]

@@ -172,11 +172,21 @@ class _RgbCodecMixin:
     def _codec_exec(self):
         if getattr(self, '_codec_ex', None) is None:
             # latency-shaped bad weather needs 8+ concurrent streams to
-            # hold 40+ MB/s (scripts/probe_link_shape.py); 12 covers
-            # fetch + per-frame decode jobs without queuing
+            # hold 40+ MB/s (scripts/probe_link_shape.py).  Dedicated
+            # to TRANSFERS: the per-frame native decodes used to share
+            # this pool and parked fetch chunks behind ~14 ms decode
+            # jobs — the link idled at ~50% while pass timings blamed
+            # the weather (BENCH r5 noflow pass asymmetry)
             self._codec_ex = concurrent.futures.ThreadPoolExecutor(
                 max_workers=12)
         return self._codec_ex
+
+    def _decode_exec(self):
+        if getattr(self, '_decode_ex', None) is None:
+            # native codec decode jobs (~14 ms each, GIL-dropping)
+            self._decode_ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=8)
+        return self._decode_ex
 
     def _codec_dispatch(self, rgb, out8=False):
         from ld_decode_tpu.tbc import fused as FU
@@ -216,6 +226,11 @@ class _RgbCodecMixin:
         E, rows0, W, out8 = shape
         hpass = not out8              # must mirror _codec_dispatch
         rows2 = fut_rows.result().astype(np.int64)
+        with _FALLBACK_LOCK:          # summed across 12 decode workers
+            self.stats['shipped_u16'] = (self.stats.get('shipped_u16', 0)
+                                         + int(rows2.sum()))
+            self.stats['frames_out'] = (self.stats.get('frames_out', 0)
+                                        + E)
         ex = self._codec_exec()
         futs_d = grid_fetch_chunks(ex, denses[0], int(rows2[0].sum()))
         futs_q = grid_fetch_chunks(ex, denses[1], int(rows2[1].sum()))
@@ -255,7 +270,7 @@ class _RgbCodecMixin:
                 np.moveaxis(img[:, :W].reshape(3, rows0, W), 0, 2))
             return arr.astype(np.uint8) if out8 else arr
 
-        return list(self._codec_exec().map(one, range(E)))
+        return list(self._decode_exec().map(one, range(E)))
 
     def _codec_decode(self, handle):
         return handle[1].result()

@@ -120,11 +120,20 @@ def _col_mask(lo, hi):
 def _causal_fir(x: jnp.ndarray, b: np.ndarray, start: int) -> jnp.ndarray:
     """Per-row streaming FIR like the reference's Filter::feed, fed from
     column `start` with zeroed initial state: out[h] = sum_k b[k]*x[h-k]
-    with x treated as 0 before `start`."""
+    with x treated as 0 before `start`.
+
+    precision='highest': on TPU, XLA lowers f32 convolutions onto the
+    MXU at bfloat16 input precision by default, which put ~±180-count
+    (~0.3 IRE) noise into every NR correction — measured as the TPU
+    comb's RGB stream shipping 1.19 MB/frame where the bit-identical
+    CPU math ships 0.73 (docs/PERF.md round-5 notes).  Full-f32 passes
+    cost 3 MXU passes on a trivially small conv — noise-free and
+    cheap."""
     xm = jnp.where(_col_mask(start, IN_X), x, 0.0)
     bj = jnp.asarray(b, xm.dtype)
     return jax.vmap(
-        lambda row: jnp.convolve(row, bj, mode='full')[:IN_X])(xm)
+        lambda row: jnp.convolve(row, bj, mode='full',
+                                 precision='highest')[:IN_X])(xm)
 
 
 def _iir1_scan(x: jnp.ndarray, b: np.ndarray, a: np.ndarray) -> jnp.ndarray:

@@ -133,7 +133,10 @@ def split3d_pal(raw, prev_raw, next_raw, cfg: 'CombPALConfig'):
     luma_d = jnp.abs((dp[:, :-4] + 2.0 * d + dp[:, 4:]) * 0.25) * 2.0
     luma_d = jnp.where(_col_mask(4, PAL_X), luma_d, 0.0)
     bj = jnp.asarray(FILTERS['lp3d'], luma_d.dtype)
-    k = jax.vmap(lambda row: jnp.convolve(row, bj, mode='full')[:PAL_X])(
+    # precision='highest': TPU's default bf16 conv lowering injects
+    # ~0.3 IRE noise (see comb_ntsc._causal_fir)
+    k = jax.vmap(lambda row: jnp.convolve(row, bj, mode='full',
+                                          precision='highest')[:PAL_X])(
         luma_d)
     k = jnp.roll(k, -8, axis=1)                  # remove the FIR group delay
 

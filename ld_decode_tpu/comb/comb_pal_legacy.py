@@ -162,7 +162,8 @@ def _do_ynr(y, nr_y_ire):
     nr = nr_y_ire * IRESCALE
     xm = jnp.where(_cols(40, L_X), y, 0.0)
     b = jnp.asarray(FILTERS['nr'], xm.dtype)
-    hp = jax.vmap(lambda row: jnp.convolve(row, b, mode='full')[:L_X])(xm)
+    hp = jax.vmap(lambda row: jnp.convolve(row, b, mode='full',
+                                           precision='highest')[:L_X])(xm)
     a = jnp.pad(hp, ((0, 0), (0, 12)))[:, 12:]
     a = jnp.clip(a, -nr, nr)
     mask = _rows(LINEOFFSET, L_Y) & _cols(40, L_X - 12)

@@ -79,7 +79,7 @@ class Framer:
                  batch: int = 1, despackle: bool = False,
                  segment_samples: int = 0, rot_level: float = 40.0,
                  flip_fields: bool = False, bff: bool = False,
-                 fetch_picture: bool = True):
+                 fetch_picture: bool = True, pic_mode: str = 'auto'):
         """Either `loader` (streaming file reads, reference-style) or
         `capture` (whole capture kept device-resident; two fused device
         calls per field — the fast path) must be given.  batch>1 adds the
@@ -92,7 +92,13 @@ class Framer:
         device-resident window of `segment_samples` samples, swaps it as
         decode/seek positions move (one prefetcher flush per swap — a
         segment is minutes of video, so the amortized cost is nil), and
-        runs the same batched pipeline inside each segment."""
+        runs the same batched pipeline inside each segment.
+
+        pic_mode: how the picture crosses the device->host link in
+        batched mode — 'codec' (lossless plane codec: device encode
+        cuts bytes ~2x, right on slow links), 'raw' (chunked raw
+        fetch: skips the ~21 ms/batch encode, right on PCIe-class
+        links), 'auto' (default: probe the link once and pick)."""
         self.cfg = cfg
         self.bank = bank
         self.loader = loader
@@ -126,7 +132,8 @@ class Framer:
             from ld_decode_tpu.tbc.pipeline import FieldPrefetcher
             self.prefetcher = FieldPrefetcher(self.decoder, self.capture_dev,
                                               batch,
-                                              fetch_picture=fetch_picture)
+                                              fetch_picture=fetch_picture,
+                                              pic_mode=pic_mode)
             if self.capture_dev is None:
                 # lookahead the chain needs resident beyond any request
                 horizon = ((self.prefetcher.DEPTH + 1) * batch

@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    help='device-resident capture window, MB of u16 '
                         'samples (the batched pipeline decodes inside a '
                         'sliding HBM segment of the file)')
+    p.add_argument('--pic-mode', choices=['auto', 'codec', 'raw'],
+                   default='auto',
+                   help='picture transfer mode for the batched pipeline: '
+                        'lossless codec (slow links), chunked raw (fast '
+                        'PCIe-class links), or auto (probe once and pick)')
     p.add_argument('--f64', action='store_true',
                    help='run the filter bank at float64 (CPU only)')
     # app/tbc operational knobs (reference app/tbc/main.cpp:152-168)
@@ -117,7 +122,8 @@ def main(argv=None):
         framer = FR.Framer(cfg, bank, loader, batch=args.batch,
                            segment_samples=args.segment_mb * (1 << 20) // 2,
                            despackle=args.despackle, rot_level=args.rot,
-                           flip_fields=args.flip, bff=args.bff)
+                           flip_fields=args.flip, bff=args.bff,
+                           pic_mode=args.pic_mode)
     else:
         framer = FR.Framer(cfg, bank, loader, despackle=args.despackle,
                            rot_level=args.rot, flip_fields=args.flip,

@@ -122,7 +122,8 @@ def test_codec_heavy_noise_stays_lossless():
 
     bank = F.make_demod_bank(cfg, np.complex64)
     fr_seq = FR.Framer(cfg, bank, capture=noisy)
-    fr_bat = FR.Framer(cfg, bank, capture=noisy, batch=6)
+    fr_bat = FR.Framer(cfg, bank, capture=noisy, batch=6,
+                       pic_mode='codec')
     s1 = s2 = 33046
     outs = []
     for i in range(3):
@@ -158,8 +159,10 @@ def test_speculative_prefix_topup():
                                                    cav_start_frame=900))
     bank = F.make_demod_bank(cfg, np.complex64)
 
-    fr_ref = FR.Framer(cfg, bank, capture=samples, batch=6)
-    fr_tu = FR.Framer(cfg, bank, capture=samples, batch=6)
+    fr_ref = FR.Framer(cfg, bank, capture=samples, batch=6,
+                       pic_mode='codec')
+    fr_tu = FR.Framer(cfg, bank, capture=samples, batch=6,
+                      pic_mode='codec')
     s1 = s2 = 33046
     for i in range(3):
         rv1 = fr_ref.readframe(None, s1, i == 0)
@@ -171,3 +174,33 @@ def test_speculative_prefix_topup():
         np.testing.assert_array_equal(rv1[0], rv2[0])
         s1, s2 = rv1[2], rv2[2]
     assert fr_tu.prefetcher.stats['pic_raw_fallback'] == 0
+
+
+def test_pic_mode_raw_matches_codec():
+    """pic_mode='raw' (the fast-link path: chunked raw picture fetch,
+    no device codec) must produce frames bit-identical to the codec
+    mode, and the auto probe on the CPU backend must resolve to raw
+    (host memory = infinite link)."""
+    cfg = DecoderConfig(system='NTSC', freq_mhz=40.0)
+    samples = E.encode_frames(cfg, 4, E.EncodeSpec(pattern='ramp',
+                                                   cav_start_frame=900))
+    bank = F.make_demod_bank(cfg, np.complex64)
+    fr_c = FR.Framer(cfg, bank, capture=samples, batch=6,
+                     pic_mode='codec')
+    fr_r = FR.Framer(cfg, bank, capture=samples, batch=6,
+                     pic_mode='raw')
+    fr_a = FR.Framer(cfg, bank, capture=samples, batch=6)   # auto
+    s1 = s2 = s3 = 33046
+    for i in range(2):
+        rv1 = fr_c.readframe(None, s1, i == 0)
+        rv2 = fr_r.readframe(None, s2, i == 0)
+        rv3 = fr_a.readframe(None, s3, i == 0)
+        assert rv1[0] is not None
+        np.testing.assert_array_equal(rv1[0], rv2[0])
+        np.testing.assert_array_equal(rv1[0], rv3[0])
+        if rv1[1] is not None:
+            np.testing.assert_array_equal(rv1[1], rv2[1])
+        s1, s2, s3 = rv1[2], rv2[2], rv3[2]
+    assert fr_c.prefetcher.stats['pic_mode'] == 'codec'
+    assert fr_r.prefetcher.stats['pic_mode'] == 'raw'
+    assert fr_a.prefetcher.stats['pic_mode'] == 'raw'   # CPU backend
