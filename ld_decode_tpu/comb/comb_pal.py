@@ -49,6 +49,17 @@ class CombPALConfig:
     firstline: int = 24
     p_3dcore: float = 1.25           # 3D motion gate (IRE), as NTSC defaults
     p_3drange: float = 5.5
+    # Philips pilot-disc 3.75 MHz pilot removal.  The reference keeps
+    # the pilot in the .tbc (its PAL video LPF is 5.2 MHz,
+    # lddecode_core.py:115, and its pilot TBC needs it in the stream,
+    # :962-975), so on pilot discs the decoded picture carries a
+    # full-height ~3.75 MHz pattern (measured ±14 IRE on the bench
+    # capture) that no comb can remove — it is not chroma.  The pilot
+    # is exactly 240 cycles per 64 µs line on the 1135-sample grid, so
+    # one tapered rfft-bin notch per line kills it without touching
+    # the 4.43 MHz chroma band (improvement beyond the reference,
+    # which had no working PAL color path in its active tree).
+    pilot_notch: bool = True
 
 
 def _row_mask(lo, hi):
@@ -165,6 +176,20 @@ def split_uv(raw, clps, ks):
 
 
 def adjust_y_pal(y, u, v):
+    """Remove the remodulated chroma from luma, shifting YUV left by 2
+    (the attic's AdjustY, attic2/comb-pal.cxx:454-476).
+
+    The output at h is y[h+2], whose subcarrier phase is (h+2)%4, so
+    the modulated chroma there is [-u, v, u, -v] by h-phase (C(h) is
+    [u, -v, -u, v] under split_uv's demod convention); y2 + comp with
+    comp = [u2, -v2, -u2, v2] subtracts it.  (Round-5 fix: an extra
+    sign flip here ADDED the chroma instead — the luma carried 2x the
+    subcarrier amplitude as dot crawl on every saturated color, which
+    the bar-mean hue tests integrated away to zero.  Caught by the
+    bench's shipped-bytes accounting: the PAL RGB stream cost 0.81x
+    raw where flat bars should be ~0.1x;
+    tests/test_comb_pal.py::test_pal_comb_luma_chroma_separation now
+    pins the interior flatness.)"""
     h = jnp.arange(PAL_X)[None, :]
     phase = h % 4
     shf = lambda x: jnp.pad(x, ((0, 0), (0, 2)))[:, 2:]
@@ -172,16 +197,42 @@ def adjust_y_pal(y, u, v):
     comp = jnp.where(phase == 0, u2,
                      jnp.where(phase == 1, -v2,
                                jnp.where(phase == 2, -u2, v2)))
-    comp = -comp
     mask = _row_mask(24, PAL_Y) & _col_mask(2, PAL_X - 2)
     return (jnp.where(mask, y2 + comp, y), jnp.where(mask, u2, u),
             jnp.where(mask, v2, v))
+
+
+def _pilot_notch_profile() -> np.ndarray:
+    """Per-line rfft gain: unity everywhere except a raised-cosine
+    notch (zero at center) around bin 240 = 3.75 MHz (see
+    CombPALConfig.pilot_notch)."""
+    prof = np.ones(PAL_X // 2 + 1, np.float32)
+    center, width = 240, 8
+    for i in range(-width, width + 1):
+        prof[center + i] = 1.0 - 0.5 * (1 + np.cos(np.pi * i / (width + 1)))
+    return prof
+
+
+_PILOT_PROF = _pilot_notch_profile()
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
 def comb_pal_frame(raw_u16, cfg: CombPALConfig, prev_u16=None, next_u16=None):
     """(linesout, 1135, 3) uint16 RGB + per-line burst angles (degrees)."""
     raw = raw_u16.astype(jnp.float32)
+    if cfg.pilot_notch:
+        # zero regions stay zero: the split/IQ masks re-zero everything
+        # outside the picture area downstream of this filter
+        raw = jnp.fft.irfft(jnp.fft.rfft(raw, axis=1)
+                            * jnp.asarray(_PILOT_PROF), n=PAL_X, axis=1)
+        if prev_u16 is not None:
+            prev_u16 = jnp.fft.irfft(
+                jnp.fft.rfft(prev_u16.astype(jnp.float32), axis=1)
+                * jnp.asarray(_PILOT_PROF), n=PAL_X, axis=1)
+        if next_u16 is not None:
+            next_u16 = jnp.fft.irfft(
+                jnp.fft.rfft(next_u16.astype(jnp.float32), axis=1)
+                * jnp.asarray(_PILOT_PROF), n=PAL_X, axis=1)
 
     clp0 = split1d_pal(raw)
     if cfg.dim >= 2:
