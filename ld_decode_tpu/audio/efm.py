@@ -182,6 +182,37 @@ def decode_frames(bits: np.ndarray):
     return out
 
 
+def decode_frames_on_grid(bits: np.ndarray):
+    """Like decode_frames, but interleave-preserving: missing syncs on
+    the 588-bit frame grid are filled by decoding at the interpolated
+    position (a damaged SYNC pattern does not mean the frame data is
+    gone), and frames that still fail come back as all-erasure
+    placeholders instead of being DROPPED.  A dropped frame shifts
+    every later frame's index, which silently corrupts up to 108
+    frames of CIRC cross-interleave context downstream — C1 (intra-
+    frame) cannot see the shift, so the damage surfaces only as C2
+    failures far from the cause."""
+    syncs = chain_frame_syncs(find_frame_syncs(bits))
+    out = []
+    prev = None
+    for s in syncs:
+        positions = [int(s)]
+        if prev is not None:
+            gap = int(round((s - prev) / F3_CHANNEL_BITS))
+            positions = [int(prev + k * F3_CHANNEL_BITS)
+                         for k in range(1, max(gap, 1))] + [int(s)]
+        for p in positions:
+            if p + F3_CHANNEL_BITS > len(bits):
+                continue               # EOF partial frame, not a gap
+            r = decode_f3_frame(bits, p)
+            if r is not None:
+                out.append((p, r[0], r[1]))
+            else:
+                out.append((p, -1, np.full(32, -1, np.int16)))
+        prev = s
+    return out
+
+
 def ecma130_scramble_sequence(nbytes: int = 2340) -> np.ndarray:
     """ECMA-130 Annex B scrambler stream: LFSR x^15+x+1 seeded 0x0001,
     LSB-first per byte (used to (de)scramble sector payloads; XOR is its
@@ -322,7 +353,7 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
     from ld_decode_tpu.audio import subcode as SC
 
     bits = channel_bits_from_rf(samples, sample_rate_hz)
-    frames = decode_frames(bits)
+    frames = decode_frames_on_grid(bits)
     if not frames:
         return {'samples': np.zeros((0, 2), np.int16),
                 'controls': np.zeros(0, np.int16), 'q': [],
@@ -345,17 +376,26 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
 
 def encode_digital_audio(samples: np.ndarray, sample_rate_hz: float,
                          control: int = 0,
-                         controls: Optional[np.ndarray] = None
-                         ) -> np.ndarray:
+                         controls: Optional[np.ndarray] = None,
+                         flush: bool = True) -> np.ndarray:
     """Stereo samples -> EFM RF waveform (test fixture for the full chain:
     CIRC encode -> F3 frames -> NRZI at the capture rate).
 
     `controls` optionally supplies the per-frame control-slot symbols
     (e.g. from subcode.subcode_symbols_for_section, with S0/S1
     sentinels); shorter streams repeat, longer ones truncate.
-    """
+
+    flush=True appends 112 zero-audio frames so the CIRC interleave
+    delay lines (2 + 4*27 + 1 frames deep) fully drain: without it the
+    last ~108 frames of a finite stream are unrecoverable by design
+    (C2 reads up to 108 frames ahead), which round 4's tests
+    misread as a 39% C2 failure rate."""
     from ld_decode_tpu.audio import circ as C
 
+    if flush:
+        samples = np.concatenate(
+            [np.asarray(samples, np.int16),
+             np.zeros((112 * 6, 2), np.int16)])
     audio = C.samples_to_audio(samples)
     chan = C.circ_encode(audio)                      # (nframes, 32)
     n = chan.shape[0]

@@ -79,16 +79,14 @@ def test_full_digital_audio_chain_roundtrip():
 
     dec = E2.decode_digital_audio(wave, rate)
     got = dec['samples']
-    lo, hi = 120, nf - 120
-    assert got.shape[0] >= (nf - 4) * 6
-    # decoding starts at the first complete frame sync, so the recovered
-    # stream may lead the PCM by a frame or two: find the alignment
-    nseg = (hi - lo) * 6
-    off = next(o for o in range(0, 4)
-               if (got[lo * 6:lo * 6 + 60]
-                   == pcm[(lo + o) * 6:(lo + o) * 6 + 60]).all())
-    assert (got[lo * 6:lo * 6 + nseg]
-            == pcm[(lo + off) * 6:(lo + off) * 6 + nseg]).all()
+    # full-stream exactness (round 5): the encoder now flushes the CIRC
+    # delay lines (112 zero-audio frames), so EVERY sample except the
+    # sync-lock lead-in frame must come back bit-exact — the old
+    # windowed compare couldn't tell a complete chain from one that
+    # loses its interleave tail
+    n = (nf - 1) * 6
+    assert got.shape[0] >= n
+    np.testing.assert_array_equal(got[:n], pcm[6:6 + n])
     assert (dec['controls'] == 0).all()
 
     # corrupt a few channel-bit stretches (drop one EFM symbol's worth of
@@ -98,10 +96,37 @@ def test_full_digital_audio_chain_roundtrip():
     for pos in (len(wave) // 3, len(wave) // 2):
         wave2[pos:pos + span] = wave2[pos]          # flatline a stretch
     dec2 = E2.decode_digital_audio(wave2, rate)
-    n2 = dec2['samples'].shape[0]
-    n = min(n2, (hi - lo) * 6)
-    # frame sync may resynchronize; compare the stretch decoded cleanly
     assert dec2['c1_corrected'].sum() + (~dec2['c1_ok']).sum() > 0
+
+
+def test_sync_damage_keeps_interleave_alignment():
+    """Obliterate TWO frames' sync patterns mid-stream: the grid-aware
+    framer (decode_frames_on_grid) must keep CIRC frame indexing so the
+    damage stays LOCAL — pre round 5 a dropped frame shifted every
+    later frame and corrupted ~108 frames of C2 context downstream."""
+    from ld_decode_tpu.audio import efm as E2
+
+    rng = np.random.default_rng(10)
+    nf = 260
+    pcm = rng.integers(-30000, 30000, (nf * 6, 2)).astype(np.int16)
+    rate = 28.8e6
+    wave = E2.encode_digital_audio(pcm, rate)
+    spf = rate / E2.EFM_CLOCK_HZ * E2.F3_CHANNEL_BITS   # samples/frame
+    wave2 = wave.copy()
+    for k in (100, 140):
+        p = int(k * spf)
+        wave2[p:p + int(spf * 0.1)] = wave2[p]      # flatline sync area
+    dec = E2.decode_digital_audio(wave2, rate)
+    got = dec['samples']
+    n = (nf - 1) * 6
+    assert got.shape[0] >= n
+    ok_rows = (got[:n] == pcm[6:6 + n]).all(axis=1)
+    # everything outside the two damaged neighborhoods is exact
+    bad = np.nonzero(~ok_rows)[0]
+    assert ok_rows.mean() > 0.95, ok_rows.mean()
+    if len(bad):
+        assert bad.min() > 90 * 6 and bad.max() < 160 * 6, \
+            (bad.min() // 6, bad.max() // 6)
 
 
 def test_cli_efm_extraction(tmp_path):
@@ -133,16 +158,11 @@ def test_cli_efm_extraction(tmp_path):
                             '--efm', '-l', '1'])
     assert rc == 0
     got = np.fromfile(tmp_path / 'out.efm.pcm', '<i2').reshape(-1, 2)
-    assert got.shape[0] >= (nf - 8) * 6
-    # known PCM comes back (same assertion level as the module-level
-    # composite test: a clean mid-stream stretch, frame-sync offset
-    # tolerated)
-    lo = 120
-    off = next(o for o in range(0, 4)
-               if (got[lo * 6:lo * 6 + 60]
-                   == pcm[(lo + o) * 6:(lo + o) * 6 + 60]).all())
-    assert (got[lo * 6:lo * 6 + 120]
-            == pcm[(lo + off) * 6:(lo + off) * 6 + 120]).all()
+    # bit-exact digital audio out of the CLI (minus the sync-lock
+    # lead-in frame)
+    n = (nf - 1) * 6
+    assert got.shape[0] >= n
+    np.testing.assert_array_equal(got[:n], pcm[6:6 + n])
     log = (tmp_path / 'out.subcode.log').read_text()
     assert log.startswith('# frames=')
     # the video side of the same run stayed intact
@@ -166,21 +186,20 @@ def test_digital_audio_from_composite_rf():
     rate = cfg.freq_hz
     wave = E2.encode_digital_audio(pcm, rate)
 
+    # two video frames: the flushed wave (nf + 112 frames) must fit
+    # inside the capture, or the interleave tail truncates again
     rf = EM.encode_frames(
-        cfg, 1, EM.EncodeSpec(pattern='bars', noise_rms=0.01),
+        cfg, 2, EM.EncodeSpec(pattern='bars', noise_rms=0.01),
         extra_baseband=0.25 * wave)
-    assert len(rf) >= len(wave)        # one frame covers the EFM stream
+    assert len(rf) >= len(wave)
 
     dec = E2.decode_digital_audio_from_rf(rf, rate)
     got = dec['samples']
-    lo, hi = 120, nf - 120
-    assert got.shape[0] >= (nf - 8) * 6
-    off = next(o for o in range(0, 4)
-               if (got[lo * 6:lo * 6 + 60]
-                   == pcm[(lo + o) * 6:(lo + o) * 6 + 60]).all())
-    nseg = (hi - lo) * 6
-    assert (got[lo * 6:lo * 6 + nseg]
-            == pcm[(lo + off) * 6:(lo + off) * 6 + nseg]).all()
+    # full-stream exactness from under real video+noise (minus the
+    # sync-lock lead-in frame)
+    n = (nf - 1) * 6
+    assert got.shape[0] >= n
+    np.testing.assert_array_equal(got[:n], pcm[6:6 + n])
     # the band split must not have wrecked the video: the capture still
     # carries a healthy FM carrier for the video decoder
     from ld_decode_tpu.utils import filtertools as FT
