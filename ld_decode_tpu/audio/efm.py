@@ -374,6 +374,39 @@ def decode_digital_audio(samples: np.ndarray, sample_rate_hz: float):
     }
 
 
+def extract_digital_audio(loader, fd, start_sample: int, n_samples: int,
+                          sample_rate_hz: float):
+    """CLI helper: load an RF span via `loader` and run the full
+    digital-audio chain (band-split -> EFM -> CIRC -> subcode).
+    Returns the decode dict, or None if nothing is readable."""
+    from ld_decode_tpu.io.loaders import load_available
+    data = load_available(loader, fd, int(start_sample), int(n_samples),
+                          max(int(n_samples) // 64, 4096))
+    if data is None:
+        return None
+    arr = np.asarray(data)
+    if np.issubdtype(arr.dtype, np.signedinteger):
+        arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
+    return decode_digital_audio_from_rf(arr, sample_rate_hz)
+
+
+def write_digital_audio_outputs(dec, outbase: str) -> None:
+    """Write <outbase>.efm.pcm (stereo s16) + <outbase>.subcode.log
+    (CIRC stats header + CRC-valid Q packets)."""
+    with open(outbase + '.efm.pcm', 'wb') as f:
+        f.write(np.asarray(dec['samples'], '<i2').tobytes())
+    with open(outbase + '.subcode.log', 'w') as f:
+        f.write(f'# frames={len(dec["controls"])} '
+                f'c1_ok={int(dec["c1_ok"].sum())} '
+                f'c1_corrected='
+                f'{int(np.sum(dec.get("c1_corrected", 0)))} '
+                f'c2_ok={int(dec["c2_ok"].sum())} '
+                f'c2_corrected='
+                f'{int(np.sum(dec.get("c2_corrected", 0)))}\n')
+        for q in dec['q']:
+            f.write(repr(q) + '\n')
+
+
 def encode_digital_audio(samples: np.ndarray, sample_rate_hz: float,
                          control: int = 0,
                          controls: Optional[np.ndarray] = None,

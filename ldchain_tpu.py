@@ -73,6 +73,10 @@ def parse_args(argv=None):
                    help='device-resident capture window, MB')
     p.add_argument('--raw', action='store_true',
                    help='write raw .rgb even when ffmpeg is available')
+    p.add_argument('--efm', action='store_true',
+                   help='additionally extract LaserDisc digital audio '
+                        '(EFM -> CIRC -> Q subcode) to <out>.efm.pcm + '
+                        '<out>.subcode.log, same as lddecode_tpu --efm')
     p.add_argument('-q', '--quiet', action='store_true')
     return p.parse_args(argv)
 
@@ -106,6 +110,7 @@ def main(argv=None):
             return 1
     else:
         nextsample = args.start * samples_per_frame
+    start_first = nextsample              # EFM span start
 
     # ----- comb (batched drivers; same emission protocol as ldexport)
     Y, X = cfg.sys.frame_lines, cfg.sys.outlinelen
@@ -246,6 +251,17 @@ def main(argv=None):
         sink.wait()
     if out_audio is not None:
         out_audio.close()
+    if args.efm:
+        from ld_decode_tpu.audio import efm as EFM
+        nspan = (args.length + 2 if args.length is not None
+                 else max(nframes + 8, 4)) * samples_per_frame
+        dec = EFM.extract_digital_audio(loader, fd, start_first, nspan,
+                                        cfg.freq_hz)
+        if dec is not None:
+            EFM.write_digital_audio_outputs(dec, args.out)
+            print(f'EFM: {dec["samples"].shape[0]} digital-audio '
+                  f'samples, {len(dec["q"])} valid Q packets',
+                  file=sys.stderr)
     print(f'wrote {nframes} frames', file=sys.stderr)
     return 0
 

@@ -194,28 +194,13 @@ def main(argv=None):
         # frame span the video pass used — the EFM frame stream and
         # CIRC interleave are continuous, so the span loads whole.
         from ld_decode_tpu.audio import efm as EFM
-        span0 = int(first_sample)
-        want = int((num_frames + 2) * samples_per_frame)
-        data = L.load_available(loader, fd, span0, want,
-                                samples_per_frame // 4)
-        if data is None:
+        dec = EFM.extract_digital_audio(
+            loader, fd, first_sample,
+            (num_frames + 2) * samples_per_frame, cfg.freq_hz)
+        if dec is None:
             log.critical('EFM: no samples readable at decode start')
             return 1
-        arr = np.asarray(data)
-        if np.issubdtype(arr.dtype, np.signedinteger):
-            arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
-        dec = EFM.decode_digital_audio_from_rf(arr, cfg.freq_hz)
-        with open(args.outfile + '.efm.pcm', 'wb') as f:
-            f.write(np.asarray(dec['samples'], '<i2').tobytes())
-        with open(args.outfile + '.subcode.log', 'w') as f:
-            nfr = len(dec['controls'])
-            f.write(f'# frames={nfr} '
-                    f'c1_ok={int(dec["c1_ok"].sum())} '
-                    f'c1_corrected={int(dec.get("c1_corrected", np.zeros(0)).sum())} '
-                    f'c2_ok={int(dec["c2_ok"].sum())} '
-                    f'c2_corrected={int(dec.get("c2_corrected", np.zeros(0)).sum())}\n')
-            for q in dec['q']:
-                f.write(repr(q) + '\n')
+        EFM.write_digital_audio_outputs(dec, args.outfile)
         log.info(f'EFM: {dec["samples"].shape[0]} digital-audio samples, '
                  f'{len(dec["q"])} valid Q packets')
     return 0

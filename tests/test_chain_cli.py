@@ -42,8 +42,11 @@ def test_chain_cli_matches_two_step_ntsc(tmp_path, monkeypatch):
     assert rc == 0
     rc = ldchain_tpu.main([str(lds), str(tmp_path / 'one'), '-F',
                            '--comb-batch', '4', '--depth', '1',
-                           '--batch', '6'])
+                           '--batch', '6', '--efm'])
     assert rc == 0
+    # --efm on a capture with no EFM carrier: files written, no crash
+    assert (tmp_path / 'one.efm.pcm').exists()
+    assert (tmp_path / 'one.subcode.log').read_text().startswith('# frames=')
 
     rgb_two = np.fromfile(tmp_path / 'two.rgb', np.uint16)
     rgb_one = np.fromfile(tmp_path / 'one.rgb', np.uint16)
