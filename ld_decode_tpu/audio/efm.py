@@ -192,23 +192,33 @@ def decode_frames_on_grid(bits: np.ndarray):
     frames of CIRC cross-interleave context downstream — C1 (intra-
     frame) cannot see the shift, so the damage surfaces only as C2
     failures far from the cause."""
+    # interpolated positions hold alignment only while cumulative bit-
+    # clock drift stays well under half an EFM symbol; beyond this many
+    # frames the gap is filled with pure erasures (no decode attempt —
+    # a mis-clocked decode yields randomly-valid symbols that CIRC
+    # would trust as data)
+    MAX_INTERP = 16
     syncs = chain_frame_syncs(find_frame_syncs(bits))
     out = []
     prev = None
     for s in syncs:
-        positions = [int(s)]
         if prev is not None:
             gap = int(round((s - prev) / F3_CHANNEL_BITS))
-            positions = [int(prev + k * F3_CHANNEL_BITS)
-                         for k in range(1, max(gap, 1))] + [int(s)]
-        for p in positions:
-            if p + F3_CHANNEL_BITS > len(bits):
-                continue               # EOF partial frame, not a gap
-            r = decode_f3_frame(bits, p)
+            for k in range(1, max(gap, 1)):
+                p = int(prev + k * F3_CHANNEL_BITS)
+                r = (decode_f3_frame(bits, p)
+                     if gap - 1 <= MAX_INTERP
+                     and p + F3_CHANNEL_BITS <= len(bits) else None)
+                if r is not None:
+                    out.append((p, r[0], r[1]))
+                else:
+                    out.append((p, -1, np.full(32, -1, np.int16)))
+        if int(s) + F3_CHANNEL_BITS <= len(bits):
+            r = decode_f3_frame(bits, int(s))
             if r is not None:
-                out.append((p, r[0], r[1]))
+                out.append((int(s), r[0], r[1]))
             else:
-                out.append((p, -1, np.full(32, -1, np.int16)))
+                out.append((int(s), -1, np.full(32, -1, np.int16)))
         prev = s
     return out
 

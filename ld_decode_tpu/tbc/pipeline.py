@@ -70,13 +70,17 @@ def probed_link_rate() -> float:
         buf = jax.jit(lambda: jnp.arange(8 * _FETCH_CHUNK,
                                          dtype=jnp.uint16))()
         buf.block_until_ready()
-        _ = np.asarray(buf[:_FETCH_CHUNK])     # warm the transfer path
-        t0 = time.time()
         with cf.ThreadPoolExecutor(4) as ex:
-            parts = list(ex.map(
-                lambda i: np.asarray(buf[i * _FETCH_CHUNK:
-                                         (i + 1) * _FETCH_CHUNK]),
-                range(8)))
+            # warm the transfer path AND the one grid-slice executable
+            # (grid_fetch_chunks — the same jitted dynamic_slice the
+            # decode fetch uses; a python slice per offset would
+            # compile 8 fresh executables and time compile churn, the
+            # exact trap CLAUDE.md documents)
+            for f in grid_fetch_chunks(ex, buf, _FETCH_CHUNK):
+                f.result()
+            t0 = time.time()
+            parts = [f.result() for f in
+                     grid_fetch_chunks(ex, buf, 8 * _FETCH_CHUNK)]
         dt = max(time.time() - t0, 1e-9)
         _LINK_RATE = sum(p.nbytes for p in parts) / 1e6 / dt
     except Exception:                           # noqa: BLE001

@@ -27,13 +27,39 @@ def cache_dir() -> str:
     return d
 
 
+def _host_fingerprint() -> bytes:
+    """CPU + compiler identity: -march=native binaries must not be
+    shared between different machines even through a shared (NFS)
+    home-directory cache — a foreign binary can SIGILL from inside a
+    ctypes call."""
+    import platform
+    parts = [platform.machine().encode()]
+    try:
+        with open('/proc/cpuinfo', 'rb') as f:
+            for line in f:
+                if line.startswith((b'model name', b'flags')):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        pass
+    try:
+        parts.append(subprocess.run(['g++', '--version'],
+                                    capture_output=True).stdout[:200])
+    except OSError:
+        pass
+    return b'\n'.join(parts)
+
+
 def build_and_load(src_path: str, tag: str) -> ctypes.CDLL:
     """Compile `src_path` (g++ -O3 -march=native) into the per-host
-    cache keyed by the source hash and dlopen it.  Raises on any
-    compile/load failure (callers catch and fall back to numpy)."""
+    cache keyed by the source hash + host/compiler fingerprint and
+    dlopen it.  Raises on any compile/load failure (callers catch and
+    fall back to numpy)."""
     with open(src_path, 'rb') as f:
         src = f.read()
-    h = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256(src + b'\x00' + _host_fingerprint()
+                       ).hexdigest()[:16]
     so = os.path.join(cache_dir(), f'{tag}_{h}.so')
     if not os.path.exists(so):
         tmp = f'{so}.tmp.{os.getpid()}'

@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument('-r', '--threedrange', type=float, default=None)
     p.add_argument('--no-cx', action='store_true',
                    help='skip CX expansion of the analog audio')
+    p.add_argument('--no-pilot-notch', action='store_true',
+                   help='PAL: keep the 3.75 MHz pilot band in the '
+                        'picture (see ldexport_tpu.py)')
     p.add_argument('--no-audio', action='store_true',
                    help='no audio output')
     p.add_argument('--batch', type=int, default=16,
@@ -128,6 +131,8 @@ def main(argv=None):
             pkw['p_3dcore'] = args.threedcore
         if args.threedrange is not None:
             pkw['p_3drange'] = args.threedrange
+        if args.no_pilot_notch:
+            pkw['pilot_notch'] = False
         comb = PALCombBatch(CombPALConfig(**pkw), out8=args.write8bit)
         width, height, fps = X, pkw.get('linesout', 576), '25'
     else:
@@ -251,6 +256,23 @@ def main(argv=None):
         sink.wait()
     if out_audio is not None:
         out_audio.close()
+    if sink and out_audio is not None \
+            and os.path.getsize(audio_path) > 0:
+        # the audio stream is produced DURING the decode (unlike
+        # ldexport, which has the whole .pcm up front and muxes in one
+        # pass), so the mp4 gets its audio in a second stream-copy
+        # remux — same end result: one .mp4 with video + 48 kHz audio
+        tmp = args.out + '.mux.mp4'
+        r = subprocess.run(
+            [ffmpeg, '-y', '-i', args.out + '.mp4',
+             '-f', 's16le', '-ar', '48000', '-ac', '2', '-i', audio_path,
+             '-map', '0:v', '-map', '1:a', '-c:v', 'copy', tmp],
+            capture_output=True)
+        if r.returncode == 0:
+            os.replace(tmp, args.out + '.mp4')
+        else:
+            print('audio remux failed; audio left in '
+                  f'{audio_path}', file=sys.stderr)
     if args.efm:
         from ld_decode_tpu.audio import efm as EFM
         nspan = (args.length + 2 if args.length is not None

@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument('-B', '--bw', action='store_true', help='B&W output')
     p.add_argument('-W', '--wide', action='store_true',
                    help='full 910-dot width (no crop)')
+    p.add_argument('--no-pilot-notch', action='store_true',
+                   help='PAL: keep the 3.75 MHz pilot band in the '
+                        'picture (default: notch it — Philips pilot '
+                        'discs carry a full-height pilot the reference '
+                        'leaves in the .tbc; disable for non-pilot '
+                        'content with luma detail near 3.75 MHz)')
     p.add_argument('-l', '--length', type=int, default=None,
                    help='max frames')
     # comb tunables (reference comb-ntsc.cxx:972-1068 getopt set)
@@ -121,6 +127,8 @@ def main(argv=None):
         if args.vbi_area:
             pkw['linesout'] = PAL_Y
             pkw['firstline'] = 0
+        if args.no_pilot_notch:
+            pkw['pilot_notch'] = False
         comb = PALComb(CombPALConfig(**pkw))
         IN_X, IN_Y = PAL_X, PAL_Y
         width, height = PAL_X, pkw.get('linesout', 576)
