@@ -19,9 +19,6 @@ s16 pcm) — pinned by tests/test_chain_cli.py.
 """
 
 import argparse
-import os
-import shutil
-import subprocess
 import sys
 
 import numpy as np
@@ -159,24 +156,13 @@ def main(argv=None):
         height = 480
         fps = '24000/1001' if args.pulldown else '30000/1001'
 
-    # ----- sinks (same stream formats as ldexport_tpu.py)
-    ffmpeg = None if args.raw else shutil.which('ffmpeg')
+    # ----- sinks (shared with ldexport_tpu.py: one place owns the
+    # stream formats)
+    from ld_decode_tpu.io.export_sink import VideoSink
     audio_path = args.out + '.audio.pcm'
     out_audio = None if args.no_audio else open(audio_path, 'wb')
-    if ffmpeg:
-        cmd = [ffmpeg, '-y', '-f', 'rawvideo', '-pix_fmt',
-               'rgb24' if args.write8bit else 'rgb48le',
-               '-s', f'{width}x{height}', '-r', fps, '-i', '-',
-               '-flags', '+ildct+ilme', args.out + '.mp4']
-        sink = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                                stderr=subprocess.DEVNULL)
-        out_f = sink.stdin
-    else:
-        if not args.raw:
-            print(f'ffmpeg not found; writing raw stream to '
-                  f'{args.out}.rgb', file=sys.stderr)
-        sink = None
-        out_f = open(args.out + '.rgb', 'wb')
+    sink = VideoSink(args.out, width, height, fps,
+                     write8bit=args.write8bit, force_raw=args.raw)
 
     pulldown = None
     if args.pulldown and not args.pal:
@@ -184,19 +170,14 @@ def main(argv=None):
         pulldown = PulldownAssembler()
     cx = CXExpander()
 
-    nframes = 0
-
     def emit(rgb, words):
-        nonlocal nframes
-        if args.length is not None and nframes >= args.length:
+        if args.length is not None and sink.nframes >= args.length:
             return
         if pulldown is not None:
             for film, _code in pulldown.process(rgb, words):
-                out_f.write(np.ascontiguousarray(film).tobytes())
-                nframes += 1
+                sink.write(film)
         else:
-            out_f.write(np.ascontiguousarray(rgb).tobytes())
-            nframes += 1
+            sink.write(rgb)
 
     def harvest(handle):
         rgbs, words = comb.collect(handle)
@@ -228,7 +209,7 @@ def main(argv=None):
             harvest(pending.popleft())
 
     first = True
-    while args.length is None or nframes < args.length:
+    while args.length is None or sink.nframes < args.length:
         combined, audio, nextsample, fields = framer.readframe(
             fd, nextsample, first)
         first = False
@@ -251,32 +232,17 @@ def main(argv=None):
                 tail = (np.asarray(tail) >> 8).astype(np.uint8)
             emit(tail, None)
 
-    out_f.close()
-    if sink:
-        sink.wait()
+    sink.close()
     if out_audio is not None:
         out_audio.close()
-    if sink and out_audio is not None \
-            and os.path.getsize(audio_path) > 0:
         # the audio stream is produced DURING the decode (unlike
         # ldexport, which has the whole .pcm up front and muxes in one
-        # pass), so the mp4 gets its audio in a second stream-copy
-        # remux — same end result: one .mp4 with video + 48 kHz audio
-        tmp = args.out + '.mux.mp4'
-        r = subprocess.run(
-            [ffmpeg, '-y', '-i', args.out + '.mp4',
-             '-f', 's16le', '-ar', '48000', '-ac', '2', '-i', audio_path,
-             '-map', '0:v', '-map', '1:a', '-c:v', 'copy', tmp],
-            capture_output=True)
-        if r.returncode == 0:
-            os.replace(tmp, args.out + '.mp4')
-        else:
-            print('audio remux failed; audio left in '
-                  f'{audio_path}', file=sys.stderr)
+        # pass), so the mp4 gets its audio in a second stream-copy remux
+        sink.remux_audio(audio_path)
     if args.efm:
         from ld_decode_tpu.audio import efm as EFM
         nspan = (args.length + 2 if args.length is not None
-                 else max(nframes + 8, 4)) * samples_per_frame
+                 else max(sink.nframes + 8, 4)) * samples_per_frame
         dec = EFM.extract_digital_audio(loader, fd, start_first, nspan,
                                         cfg.freq_hz)
         if dec is not None:
@@ -284,7 +250,7 @@ def main(argv=None):
             print(f'EFM: {dec["samples"].shape[0]} digital-audio '
                   f'samples, {len(dec["q"])} valid Q packets',
                   file=sys.stderr)
-    print(f'wrote {nframes} frames', file=sys.stderr)
+    print(f'wrote {sink.nframes} frames', file=sys.stderr)
     return 0
 
 

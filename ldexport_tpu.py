@@ -9,9 +9,6 @@ the reference scripts used (rgb48, 744x480 @29.97 NTSC interlaced).
 """
 
 import argparse
-import os
-import shutil
-import subprocess
 import sys
 
 import numpy as np
@@ -169,7 +166,6 @@ def main(argv=None):
         height = nkw.get('linesout', 480)
         fps = '24000/1001' if args.pulldown else '30000/1001'
 
-    ffmpeg = shutil.which('ffmpeg')
     frame_bytes = IN_X * IN_Y * 2
 
     # audio: CX expand to a side .pcm
@@ -188,43 +184,25 @@ def main(argv=None):
                 fo.write((out.astype(np.int32) - 32768
                           ).astype('<i2').tobytes())
 
-    if ffmpeg:
-        cmd = [ffmpeg, '-y', '-f', 'rawvideo', '-pix_fmt',
-               'rgb24' if args.write8bit else 'rgb48le',
-               '-s', f'{width}x{height}', '-r', fps, '-i', '-']
-        if audio_path:
-            cmd += ['-f', 's16le', '-ar', '48000', '-ac', '2',
-                    '-i', audio_path]
-        cmd += ['-flags', '+ildct+ilme', args.out + '.mp4']
-        sink = subprocess.Popen(cmd, stdin=subprocess.PIPE)
-        out_f = sink.stdin
-    else:
-        print('ffmpeg not found; writing raw rgb48 stream to '
-              f'{args.out}.rgb', file=sys.stderr)
-        sink = None
-        out_f = open(args.out + '.rgb', 'wb')
+    from ld_decode_tpu.io.export_sink import VideoSink
+    sink = VideoSink(args.out, width, height, fps,
+                     write8bit=args.write8bit, audio_path=audio_path,
+                     write_images=args.write_images)
 
     pulldown = None
     if args.pulldown and not args.pal:
         from ld_decode_tpu.comb.comb_ntsc import PulldownAssembler
         pulldown = PulldownAssembler()
 
-    nframes = 0
     # -t: collect raw .tbc frames for the training-pair writer (bounded:
     # 128 frames ≈ 122 MB; more adds nothing for the small NN)
     train_frames = [] if args.training and not args.pal else None
 
     def write_one(frame_rgb):
-        nonlocal nframes
-        if args.write_images:       # comb -f: per-frame .rgb files
-            with open(f'{args.out}_{nframes}.rgb', 'wb') as imf:
-                imf.write(np.ascontiguousarray(frame_rgb).tobytes())
-        else:
-            out_f.write(np.ascontiguousarray(frame_rgb).tobytes())
-        nframes += 1
+        sink.write(frame_rgb)
 
     def emit(rgb, words):
-        if args.length is not None and nframes >= args.length:
+        if args.length is not None and sink.nframes >= args.length:
             return
         if args.write8bit and np.asarray(rgb).dtype != np.uint8:
             # comb -8: top byte only (batched driver converts on device)
@@ -249,7 +227,7 @@ def main(argv=None):
         if use_batch:
             # windowed: feed window k while window k-1's RGB fetches
             pending = None
-            while args.length is None or nframes < args.length:
+            while args.length is None or sink.nframes < args.length:
                 raw = f.read(frame_bytes * args.comb_batch)
                 n = len(raw) // frame_bytes
                 if n:
@@ -271,7 +249,7 @@ def main(argv=None):
                 for rgb, w in zip(*comb.collect(pending)):
                     emit(rgb, w)
         else:
-            while args.length is None or nframes < args.length:
+            while args.length is None or sink.nframes < args.length:
                 buf = f.read(frame_bytes)
                 if len(buf) < frame_bytes:
                     break
@@ -297,16 +275,14 @@ def main(argv=None):
                 tail = (np.asarray(tail) >> 8).astype(np.uint8)
             write_one(tail)
 
-    out_f.close()
-    if sink:
-        sink.wait()
+    sink.close()
     if train_frames is not None and len(train_frames) >= 3:
         from ld_decode_tpu.models.nn_comb import write_training_file
         npairs = write_training_file(np.stack(train_frames),
                                      args.out + '.train.npz')
         print(f'wrote {npairs} training pairs to {args.out}.train.npz',
               file=sys.stderr)
-    print(f'wrote {nframes} frames', file=sys.stderr)
+    print(f'wrote {sink.nframes} frames', file=sys.stderr)
     return 0
 
 
