@@ -233,7 +233,7 @@ def collect_rgb(nframes=8):
     print(f'# rgb: saved {stack.shape} -> {out}')
 
 
-def _shipped_rate(img, k):
+def _shipped_rate(img, k, hpass=False):
     """Exact shipped fraction of one int image through the real codec
     (encode + compact + tab words), vs 16 bits/sample raw."""
     import jax.numpy as jnp
@@ -241,7 +241,7 @@ def _shipped_rate(img, k):
     R, W = img.shape
     Wp = -(-W // BW) * BW
     fp = np.pad(img.astype(np.int32), ((0, 0), (0, Wp - W)), mode='edge')
-    planes, tab, qs, qw = FU.encode_image_planes(jnp.asarray(fp), k)
+    planes, tab, qs, qw = FU.encode_image_planes(jnp.asarray(fp), k, hpass)
     dense, rows = FU.compact_planes(
         planes[None], tab[None], FU.codec_cap_words(R * (Wp // BW)))
     rows = int(np.asarray(rows)[0])
@@ -271,11 +271,13 @@ def rate_rgb():
             (f[..., 0].astype(np.int32) - f[..., 1]) & 0xFFFF,
             (f[..., 2].astype(np.int32) - f[..., 1]) & 0xFFFF])),
     ]:
-        for kname, k in [('v1', 1), ('h', 3 * nrows)]:
+        for kname, k, hp in [('v1', 1, False), ('2d', 1, True),
+                             ('h', 3 * nrows, False)]:
             for tag, prep in [('rgb48', lambda f: f),
                               ('rgb8', lambda f: f >> 8)]:
                 rates = [
-                    _shipped_rate(tr(prep(f)).reshape(-1, f.shape[1]), k)
+                    _shipped_rate(tr(prep(f)).reshape(-1, f.shape[1]),
+                                  k, hp)
                     for f in st]
                 r = float(np.mean(rates))
                 print(f'{tag} {name} {kname}: {r:.3f}x raw '
