@@ -49,6 +49,13 @@ class CombPALConfig:
     firstline: int = 24
     p_3dcore: float = 1.25           # 3D motion gate (IRE), as NTSC defaults
     p_3drange: float = 5.5
+    # post-demod chroma LPF (the attic's FilterIQ behind f_colorlpf,
+    # attic2/comb-pal.cxx:28,203-230 — OFF by default there and here):
+    # one-pole I/Q-rate filters over the held U/V streams, the same
+    # structure as the NTSC comb's filter_iq.  Cleans chroma demod
+    # noise at the cost of chroma bandwidth.
+    colorlpf: bool = False
+    colorlpf_hq: bool = True
     # Philips pilot-disc 3.75 MHz pilot removal.  The reference keeps
     # the pilot in the .tbc (its PAL video LPF is 5.2 MHz,
     # lddecode_core.py:115, and its pilot TBC needs it in the stream,
@@ -175,6 +182,32 @@ def split_uv(raw, clps, ks):
             jnp.where(mask, v, 0.0))
 
 
+def filter_uv(u, v, cfg: 'CombPALConfig'):
+    """Post-demod chroma LPF over the held U/V sample streams (the
+    attic's FilterIQ capability, attic2/comb-pal.cxx:203-230; same
+    one-pole structure as the NTSC comb's filter_iq — the attic reuses
+    the NTSC-rate filter tables too).  hq mode filters V with the U
+    (wider) LPF."""
+    from ld_decode_tpu.comb.comb_ntsc import FILTERS, _iir1_scan
+    bu, au = FILTERS['lpi']
+    bv, av = FILTERS['lpi'] if cfg.colorlpf_hq else FILTERS['lpq']
+
+    u_in = jnp.where(_col_mask(4, PAL_X - 4), u, 0.0)
+    v_in = jnp.where(_col_mask(4, PAL_X - 4), v, 0.0)
+    fu = _iir1_scan(u_in[:, 4::2], bu, au)
+    fv = _iir1_scan(v_in[:, 5::2], bv, av)
+
+    def held(seq_out, first_col):
+        up = jnp.repeat(seq_out, 2, axis=1)
+        return jnp.pad(up, ((0, 0), (first_col, 0)))[:, :PAL_X]
+
+    hu = held(fu, 4)
+    hv = held(fv, 5)
+    sh2 = lambda x: jnp.pad(x, ((0, 0), (0, 2)))[:, 2:]
+    mask = _row_mask(24, PAL_Y) & _col_mask(2, PAL_X - 6)
+    return (jnp.where(mask, sh2(hu), u), jnp.where(mask, sh2(hv), v))
+
+
 def adjust_y_pal(y, u, v):
     """Remove the remodulated chroma from luma, shifting YUV left by 2
     (the attic's AdjustY, attic2/comb-pal.cxx:454-476).
@@ -255,6 +288,8 @@ def comb_pal_frame(raw_u16, cfg: CombPALConfig, prev_u16=None, next_u16=None):
     else:
         y, u, v = split_uv(raw, (clp1, clp0), (k1, k0))
     y, u, v = adjust_y_pal(y, u, v)
+    if cfg.colorlpf:
+        u, v = filter_uv(u, v, cfg)
     if cfg.bw:
         u = jnp.zeros_like(u)
         v = jnp.zeros_like(v)

@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument('--no-pilot-notch', action='store_true',
                    help='PAL: keep the 3.75 MHz pilot band in the '
                         'picture (see ldexport_tpu.py)')
+    p.add_argument('--pal-colorlpf', action='store_true',
+                   help='PAL: enable the post-demod chroma LPF '
+                        '(see ldexport_tpu.py)')
     p.add_argument('--no-audio', action='store_true',
                    help='no audio output')
     p.add_argument('--batch', type=int, default=16,
@@ -130,6 +133,8 @@ def main(argv=None):
             pkw['p_3drange'] = args.threedrange
         if args.no_pilot_notch:
             pkw['pilot_notch'] = False
+        if args.pal_colorlpf:
+            pkw['colorlpf'] = True
         comb = PALCombBatch(CombPALConfig(**pkw), out8=args.write8bit)
         width, height, fps = X, pkw.get('linesout', 576), '25'
     else:

@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument('-B', '--bw', action='store_true', help='B&W output')
     p.add_argument('-W', '--wide', action='store_true',
                    help='full 910-dot width (no crop)')
+    p.add_argument('--pal-colorlpf', action='store_true',
+                   help='PAL: enable the post-demod chroma LPF (the '
+                        'attic comb-pal f_colorlpf toggle; off by '
+                        'default like the reference)')
     p.add_argument('--no-pilot-notch', action='store_true',
                    help='PAL: keep the 3.75 MHz pilot band in the '
                         'picture (default: notch it — Philips pilot '
@@ -126,6 +130,9 @@ def main(argv=None):
             pkw['firstline'] = 0
         if args.no_pilot_notch:
             pkw['pilot_notch'] = False
+        if args.pal_colorlpf:
+            pkw['colorlpf'] = True
+            pkw['colorlpf_hq'] = not args.no_colorlpf_hq
         comb = PALComb(CombPALConfig(**pkw))
         IN_X, IN_Y = PAL_X, PAL_Y
         width, height = PAL_X, pkw.get('linesout', 576)

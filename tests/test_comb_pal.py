@@ -183,3 +183,24 @@ def test_pal_comb_luma_chroma_separation(pal_frames3):
     # amplitude in every saturated bar); post-fix ~100-400 of genuine
     # demod noise
     assert interior < 1200, sorted(stds)[:8]
+
+
+def test_pal_colorlpf_reduces_chroma_noise(pal_frames3):
+    """The attic's f_colorlpf capability (off by default, like the
+    reference): enabling the post-demod chroma LPF must cut the
+    high-frequency chroma noise inside saturated bars while keeping
+    the hues (comb-pal.cxx:28,203-230)."""
+    rgb_off = PALComb(CombPALConfig(dim=2)).process(
+        pal_frames3[0]).astype(np.float64)
+    rgb_on = PALComb(CombPALConfig(dim=2, colorlpf=True)).process(
+        pal_frames3[0]).astype(np.float64)
+    # chroma surface: B - R (luma cancels); horizontal roughness inside
+    # the +U bar must drop with the LPF on
+    def rough(rgb):
+        c = rgb[150:350, 290:330, 2] - rgb[150:350, 290:330, 0]
+        return float(np.abs(np.diff(c, axis=1)).mean())
+    assert rough(rgb_on) < 0.8 * rough(rgb_off), \
+        (rough(rgb_on), rough(rgb_off))
+    # hues survive
+    b_on = _bar_means(rgb_on)
+    assert b_on[1][2] - b_on[1][0] > 0.2 * np.mean(b_on[1])
