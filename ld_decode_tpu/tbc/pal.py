@@ -73,9 +73,17 @@ def pilot_offsets(demod: jnp.ndarray, demod05: jnp.ndarray,
     return frac, crossing
 
 
-@functools.partial(jax.jit, static_argnames=('linelen', 'freq'))
-def refine_pilot(demod, demod05, lli, llf, linelen: int, freq: float):
-    """Apply the pilot alignment; returns adjusted (lli, llf)."""
+def _refine_pilot_once(demod, demod05, lli, llf, linelen: int,
+                       freq: float, relative_only: bool):
+    """One damped pilot-alignment pass.
+
+    relative_only=False is the reference's pass verbatim, INCLUDING
+    its global phase shift toward tgt (lddecode_core.py:996-1006) —
+    the oracle framing depends on it.  relative_only=True removes the
+    per-line deviation around the lines' common phase WITHOUT moving
+    the global position (used by the extra convergence passes: fully
+    converging onto the pilot's absolute phase shifted the whole
+    picture ~2.2 samples vs the reference framing)."""
     L = lli.shape[0]
     frac, crossing = pilot_offsets(demod, demod05, lli, llf, linelen, freq)
 
@@ -89,11 +97,50 @@ def refine_pilot(demod, demod05, lli, llf, linelen: int, freq: float):
     global_med = _masked_median(frac, trimmed & l2)
     tgt = jnp.where((global_med >= 0.25) & (global_med <= 0.75), 0.5, 0.0)
 
-    line_med = _masked_median_rows(frac, use)
     has = jnp.sum(use, axis=1) > 0
-    adjustment = jnp.where(has, tgt - line_med, 0.0)
+    if not relative_only:
+        # the reference's pass verbatim: plain (non-circular) medians —
+        # with tgt=0 and fracs near 1 this commands nearly a full-cycle
+        # move, damped to a quarter; the oracle positions inherit
+        # exactly that, so pass 1 must reproduce it
+        line_med = _masked_median_rows(frac, use)
+        adjustment = jnp.where(has, tgt - line_med, 0.0)
+    else:
+        # extra passes: circular deviation around the target (the
+        # plain median breaks when fracs straddle the 0/1 wrap),
+        # median-centred so only per-line jitter moves — the global
+        # phase stays wherever the reference's pass put it
+        dev = jnp.mod(frac - tgt + 0.5, 1.0) - 0.5
+        line_dev = _masked_median_rows(dev, use)
+        nanline = jnp.where(has, line_dev, jnp.float32(jnp.nan))
+        line_dev = line_dev - jnp.nanmedian(nanline)
+        adjustment = jnp.where(has, -line_dev, 0.0)
     adjustment = jnp.where(jnp.isnan(adjustment), 0.0, adjustment)
 
     llf2 = llf + adjustment * (freq / 3.75) * 0.25
     q = jnp.floor(llf2)
     return lli + q.astype(jnp.int32), llf2 - q
+
+
+@functools.partial(jax.jit, static_argnames=('linelen', 'freq', 'passes'))
+def refine_pilot(demod, demod05, lli, llf, linelen: int, freq: float,
+                 passes: int = 1):
+    """Apply the pilot alignment; returns adjusted (lli, llf).
+
+    passes=1 (default) is the reference's single damped pass
+    (lddecode_core.py:996-1006).  passes>1 iterates extra
+    RELATIVE-only passes (pass 1 keeps the reference's global phase
+    shift — the framing contract; extras are wrap-aware and
+    median-centred).  Measured round 5 and left OFF: iterating drives
+    the measured per-line pilot-phase scatter from 0.207 to 0.005
+    input samples, but the PAL picture's noise floor and the RGB
+    stream's shipped bytes do not move AT ALL — the "jitter" that
+    converged was the zero-crossing median's own measurement noise,
+    which extra passes merely imprint into the line positions
+    (docs/PERF.md round-5 notes).  Kept as a knob because real
+    (noisy) captures may have genuine jitter above the measurement
+    floor."""
+    for k in range(passes):
+        lli, llf = _refine_pilot_once(demod, demod05, lli, llf,
+                                      linelen, freq, relative_only=k > 0)
+    return lli, llf
