@@ -403,16 +403,18 @@ def main():
     ch_rgb8 = _ChainStage('full-chain-8bit', jobs, out8=True)
     ch_noflow = _ChainStage('full-chain-noflow', jobs, opticalflow=False)
     ch_pal = _ChainStage('pal-chain', jobs, pal=True)
+    ch_pal8 = _ChainStage('pal-chain-8bit', jobs, pal=True, out8=True)
 
     # round-robin schedule: every metric's pass-sets are spread across
     # the whole run so no single weather event owns any stage's median
     schedule = [
         (head, 2), (ch_noflow, 2), (pal, 2), (ch_flow, 2), (head, 2),
         (ch_pal, 2), (ch_rgb8, 2), (noisy, 2), (ch_noflow, 2), (pal, 2),
-        (ch_flow, 2), (head, 2), (noisy, 1), (ch_rgb8, 2), (ch_pal, 1),
-        (ch_noflow, 2), (head, 2),
+        (ch_flow, 2), (head, 2), (ch_pal8, 2), (noisy, 1), (ch_rgb8, 2),
+        (ch_pal, 1), (ch_noflow, 2), (head, 2),
     ]
-    optional = {noisy, pal, ch_flow, ch_rgb8, ch_noflow, ch_pal}
+    optional = {noisy, pal, ch_flow, ch_rgb8, ch_noflow, ch_pal,
+                ch_pal8}
     profile_dir = os.environ.get('LD_TPU_PROFILE_DIR')
     for i, (stage, n) in enumerate(schedule):
         if profile_dir and i == 0:
@@ -470,7 +472,8 @@ def main():
     # once, with every pass still recorded (median over everything —
     # evidence-preserving, not cherry-picking)
     if max(extra['d2h_probe_MBps']) >= COLLAPSE_MBPS:
-        for stage in (pal, noisy, ch_flow, ch_rgb8, ch_noflow, ch_pal):
+        for stage in (pal, noisy, ch_flow, ch_rgb8, ch_noflow,
+                      ch_pal, ch_pal8):
             if stage.rates and median(stage.rates) < BASELINE:
                 try:
                     stage.visit(2)
@@ -487,7 +490,7 @@ def main():
     for st, key in ((noisy, 'ntsc_noisy'), (pal, 'pal'),
                     (ch_flow, 'full_chain'), (ch_rgb8, 'full_chain_rgb8'),
                     (ch_noflow, 'full_chain_noflow'),
-                    (ch_pal, 'pal_chain')):
+                    (ch_pal, 'pal_chain'), (ch_pal8, 'pal_chain_rgb8')):
         if st.rates:
             extra[f'{key}_MSa_s'] = round(median(st.rates), 2)
             extra[f'{key}_pass_rates'] = [round(r, 1) for r in st.rates]
