@@ -193,10 +193,13 @@ def decode_frames_on_grid(bits: np.ndarray):
     frame) cannot see the shift, so the damage surfaces only as C2
     failures far from the cause."""
     # interpolated positions hold alignment only while cumulative bit-
-    # clock drift stays well under half an EFM symbol; beyond this many
-    # frames the gap is filled with pure erasures (no decode attempt —
-    # a mis-clocked decode yields randomly-valid symbols that CIRC
-    # would trust as data)
+    # clock drift stays well under half an EFM symbol, which grows with
+    # DISTANCE FROM THE NEAREST GOOD SYNC — so inside a long gap the
+    # first/last MAX_INTERP positions (anchored forward off the
+    # previous sync / backward off the next one) still get decode
+    # attempts, while the deep middle becomes pure erasures (a
+    # mis-clocked decode yields randomly-valid symbols that CIRC would
+    # trust as data)
     MAX_INTERP = 16
     syncs = chain_frame_syncs(find_frame_syncs(bits))
     out = []
@@ -205,9 +208,15 @@ def decode_frames_on_grid(bits: np.ndarray):
         if prev is not None:
             gap = int(round((s - prev) / F3_CHANNEL_BITS))
             for k in range(1, max(gap, 1)):
-                p = int(prev + k * F3_CHANNEL_BITS)
+                back = gap - k
+                if k <= MAX_INTERP:
+                    p = int(prev + k * F3_CHANNEL_BITS)
+                elif back <= MAX_INTERP:
+                    p = int(s - back * F3_CHANNEL_BITS)
+                else:
+                    p = int(prev + k * F3_CHANNEL_BITS)
                 r = (decode_f3_frame(bits, p)
-                     if gap - 1 <= MAX_INTERP
+                     if min(k, back) <= MAX_INTERP
                      and p + F3_CHANNEL_BITS <= len(bits) else None)
                 if r is not None:
                     out.append((p, r[0], r[1]))

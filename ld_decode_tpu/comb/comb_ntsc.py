@@ -352,33 +352,41 @@ def adjust_y(y, i, q, invert_col: jnp.ndarray, cfg: CombConfig):
             jnp.where(mask, q2, q))
 
 
-def filter_iq(i, q, cfg: CombConfig):
-    """Post chroma LPF: one-pole IIRs over the alternating I/Q sample
-    streams (comb-ntsc.cxx:212-243).  hq mode filters Q with the I LPF."""
-    bi, ai = FILTERS['lpi']
-    bq, aq = FILTERS['lpi'] if cfg.colorlpf_hq else FILTERS['lpq']
-
-    # the I filter is fed at even h (phases 0,2), Q at odd h, from h=4
-    i_in = jnp.where(_col_mask(4, 840), i, 0.0)
-    q_in = jnp.where(_col_mask(4, 840), q, 0.0)
-    i_seq = i_in[:, 4::2]
-    q_seq = q_in[:, 5::2]
-    fi = _iir1_scan(i_seq, bi, ai)
-    fq = _iir1_scan(q_seq, bq, aq)
+def chroma_lpf_pair(a, b, ba_a, ba_b, W: int, nrows: int, row_lo: int,
+                    feed_hi: int, out_hi: int):
+    """Post-demod chroma LPF over two held alternating sample streams
+    (the FilterIQ structure, comb-ntsc.cxx:212-243 / the attic's PAL
+    FilterIQ): one-pole IIRs fed at even/odd h from h=4, held outputs
+    written back at h-2.  Shared by the NTSC comb (filter_iq) and the
+    PAL comb (comb_pal.filter_uv) — parameterized on the frame
+    geometry only."""
+    col = jnp.arange(W)[None, :]
+    row = jnp.arange(nrows)[:, None]
+    fm = (col >= 4) & (col < feed_hi)
+    a_in = jnp.where(fm, a, 0.0)
+    b_in = jnp.where(fm, b, 0.0)
+    fa = _iir1_scan(a_in[:, 4::2], ba_a[0], ba_a[1])
+    fb = _iir1_scan(b_in[:, 5::2], ba_b[0], ba_b[1])
 
     # held outputs at each h (value from the last feed at or before h)
     def held(seq_out, first_col):
         up = jnp.repeat(seq_out, 2, axis=1)
-        pad_front = first_col
-        out = jnp.pad(up, ((0, 0), (pad_front, 0)))[:, :IN_X]
-        return out
+        return jnp.pad(up, ((0, 0), (first_col, 0)))[:, :W]
 
-    hi = held(fi, 4)
-    hq_ = held(fq, 5)
-    # write to h-2 for h in 4..839 (qoffset=2)
+    ha = held(fa, 4)
+    hb = held(fb, 5)
     sh2 = lambda x: jnp.pad(x, ((0, 0), (0, 2)))[:, 2:]
-    mask = _row_mask(44, IN_Y) & _col_mask(2, 838)
-    return (jnp.where(mask, sh2(hi), i), jnp.where(mask, sh2(hq_), q))
+    mask = (row >= row_lo) & (col >= 2) & (col < out_hi)
+    return (jnp.where(mask, sh2(ha), a), jnp.where(mask, sh2(hb), b))
+
+
+def filter_iq(i, q, cfg: CombConfig):
+    """Post chroma LPF: one-pole IIRs over the alternating I/Q sample
+    streams (comb-ntsc.cxx:212-243).  hq mode filters Q with the I LPF."""
+    bi_ai = FILTERS['lpi']
+    bq_aq = FILTERS['lpi'] if cfg.colorlpf_hq else FILTERS['lpq']
+    return chroma_lpf_pair(i, q, bi_ai, bq_aq, IN_X, IN_Y,
+                           row_lo=44, feed_hi=840, out_hi=838)
 
 
 def do_ynr(y, cfg: CombConfig):

@@ -184,28 +184,16 @@ def split_uv(raw, clps, ks):
 
 def filter_uv(u, v, cfg: 'CombPALConfig'):
     """Post-demod chroma LPF over the held U/V sample streams (the
-    attic's FilterIQ capability, attic2/comb-pal.cxx:203-230; same
-    one-pole structure as the NTSC comb's filter_iq — the attic reuses
-    the NTSC-rate filter tables too).  hq mode filters V with the U
-    (wider) LPF."""
-    from ld_decode_tpu.comb.comb_ntsc import FILTERS, _iir1_scan
-    bu, au = FILTERS['lpi']
-    bv, av = FILTERS['lpi'] if cfg.colorlpf_hq else FILTERS['lpq']
-
-    u_in = jnp.where(_col_mask(4, PAL_X - 4), u, 0.0)
-    v_in = jnp.where(_col_mask(4, PAL_X - 4), v, 0.0)
-    fu = _iir1_scan(u_in[:, 4::2], bu, au)
-    fv = _iir1_scan(v_in[:, 5::2], bv, av)
-
-    def held(seq_out, first_col):
-        up = jnp.repeat(seq_out, 2, axis=1)
-        return jnp.pad(up, ((0, 0), (first_col, 0)))[:, :PAL_X]
-
-    hu = held(fu, 4)
-    hv = held(fv, 5)
-    sh2 = lambda x: jnp.pad(x, ((0, 0), (0, 2)))[:, 2:]
-    mask = _row_mask(24, PAL_Y) & _col_mask(2, PAL_X - 6)
-    return (jnp.where(mask, sh2(hu), u), jnp.where(mask, sh2(hv), v))
+    attic's FilterIQ capability, attic2/comb-pal.cxx:203-230; the
+    shared FilterIQ structure lives in comb_ntsc.chroma_lpf_pair — the
+    attic reuses the NTSC-rate filter tables too).  hq mode filters V
+    with the U (wider) LPF."""
+    from ld_decode_tpu.comb.comb_ntsc import FILTERS, chroma_lpf_pair
+    bu_au = FILTERS['lpi']
+    bv_av = FILTERS['lpi'] if cfg.colorlpf_hq else FILTERS['lpq']
+    return chroma_lpf_pair(u, v, bu_au, bv_av, PAL_X, PAL_Y,
+                           row_lo=24, feed_hi=PAL_X - 4,
+                           out_hi=PAL_X - 6)
 
 
 def adjust_y_pal(y, u, v):

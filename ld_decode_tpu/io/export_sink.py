@@ -30,7 +30,8 @@ class VideoSink:
 
     def __init__(self, outbase: str, width: int, height: int, fps: str,
                  write8bit: bool = False, audio_path: Optional[str] = None,
-                 force_raw: bool = False, write_images: bool = False):
+                 force_raw: bool = False, write_images: bool = False,
+                 quiet_ffmpeg: bool = False):
         self.outbase = outbase
         self.write_images = write_images
         self.nframes = 0
@@ -47,11 +48,14 @@ class VideoSink:
                 cmd += ['-f', 's16le', '-ar', '48000', '-ac', '2',
                         '-i', audio_path]
             cmd += ['-flags', '+ildct+ilme', outbase + '.mp4']
-            self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+            self._proc = subprocess.Popen(
+                cmd, stdin=subprocess.PIPE,
+                stderr=subprocess.DEVNULL if quiet_ffmpeg else None)
             self._f = self._proc.stdin
         else:
             if not force_raw:
-                print('ffmpeg not found; writing raw rgb48 stream to '
+                fmt = 'rgb24' if write8bit else 'rgb48'
+                print(f'ffmpeg not found; writing raw {fmt} stream to '
                       f'{outbase}.rgb', file=sys.stderr)
             self._f = open(outbase + '.rgb', 'wb')
 
@@ -83,5 +87,10 @@ class VideoSink:
         if r.returncode == 0:
             os.replace(tmp, self.outbase + '.mp4')
         else:
-            print(f'audio remux failed; audio left in {audio_path}',
-                  file=sys.stderr)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            tail = r.stderr.decode(errors='replace')[-400:]
+            print(f'audio remux failed; audio left in {audio_path}\n'
+                  f'{tail}', file=sys.stderr)

@@ -167,7 +167,8 @@ def main(argv=None):
     audio_path = args.out + '.audio.pcm'
     out_audio = None if args.no_audio else open(audio_path, 'wb')
     sink = VideoSink(args.out, width, height, fps,
-                     write8bit=args.write8bit, force_raw=args.raw)
+                     write8bit=args.write8bit, force_raw=args.raw,
+                     quiet_ffmpeg=True)
 
     pulldown = None
     if args.pulldown and not args.pal:

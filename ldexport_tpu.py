@@ -205,9 +205,6 @@ def main(argv=None):
     # 128 frames ≈ 122 MB; more adds nothing for the small NN)
     train_frames = [] if args.training and not args.pal else None
 
-    def write_one(frame_rgb):
-        sink.write(frame_rgb)
-
     def emit(rgb, words):
         if args.length is not None and sink.nframes >= args.length:
             return
@@ -216,9 +213,9 @@ def main(argv=None):
             rgb = (np.asarray(rgb) >> 8).astype(np.uint8)
         if pulldown is not None:
             for film, _code in pulldown.process(rgb, words):
-                write_one(film)
+                sink.write(film)
         else:
-            write_one(rgb)
+            sink.write(rgb)
 
     use_batch = (args.comb_batch > 1
                  and not (args.debug2d or args.show_k
@@ -280,7 +277,7 @@ def main(argv=None):
         if tail is not None:
             if args.write8bit and np.asarray(tail).dtype != np.uint8:
                 tail = (np.asarray(tail) >> 8).astype(np.uint8)
-            write_one(tail)
+            sink.write(tail)
 
     sink.close()
     if train_frames is not None and len(train_frames) >= 3:
