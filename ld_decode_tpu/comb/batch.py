@@ -190,6 +190,8 @@ class _RgbCodecMixin:
 
     def _codec_dispatch(self, rgb, out8=False):
         from ld_decode_tpu.tbc import fused as FU
+        from ld_decode_tpu.tbc.pipeline import (grid_fetch_chunks,
+                                                grid_round_up)
         E, rows0, W, _ = rgb.shape
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         # per-image block count rounded to the compaction unit — an
@@ -201,6 +203,20 @@ class _RgbCodecMixin:
         # 0.082x -> 0.091x there — probe_codec_rate.py)
         hpass = not out8
         dense, dense_q, rows2, wtab = _rgb_encode(rgb, cap, hpass)
+        # speculative EMA-sized prefix fetch, same trick as the
+        # pipeline's picture codec (tbc/pipeline.py::_dispatch): the
+        # transfers start the moment the device finishes the window
+        # instead of waiting a tunnel round trip for the exact counts
+        # — the counts only gate the rare top-up on underestimate
+        spec = spec_q = None
+        if getattr(self, '_rows_ema', None) is not None \
+                and getattr(self, '_qw_ema', None) is not None:
+            ex = self._codec_exec()
+            n_est = min(cap, grid_round_up(int(self._rows_ema * 1.25)))
+            spec = (n_est, grid_fetch_chunks(ex, dense, n_est))
+            n_est_q = min(int(dense_q.shape[0]),
+                          grid_round_up(int(self._qw_ema * 1.25)))
+            spec_q = (n_est_q, grid_fetch_chunks(ex, dense_q, n_est_q))
         # submission order matters: rows/wtab before fetch_decode, so
         # the FIFO pool can never park fetch_decode ahead of the
         # futures it joins
@@ -208,11 +224,31 @@ class _RgbCodecMixin:
         fut_wtab = self._ex.submit(np.asarray, wtab)
         fut_frames = self._ex.submit(self._codec_fetch_decode,
                                      (dense, dense_q), fut_rows,
-                                     fut_wtab, (E, rows0, W, out8))
+                                     fut_wtab, (E, rows0, W, out8),
+                                     spec, spec_q)
         self.stats['windows'] += 1
         return ('codec', fut_frames)
 
-    def _codec_fetch_decode(self, denses, fut_rows, fut_wtab, shape):
+    def _prefix(self, dense, n, spec):
+        """Assemble dense[:n], reusing the speculative prefix and
+        topping up only on underestimate (pipeline._fetch_prefix)."""
+        from ld_decode_tpu.tbc.pipeline import grid_fetch_chunks
+        if n <= 0:
+            return np.zeros(0, np.uint16)
+        ex = self._codec_exec()
+        if spec is None:
+            return np.concatenate(
+                [f.result() for f in grid_fetch_chunks(ex, dense, n)])
+        n_est, futs = spec
+        parts = [f.result() for f in futs]
+        if n_est < n:
+            parts += [f.result() for f in
+                      grid_fetch_chunks(ex, dense, n - n_est, n_est)]
+        return np.concatenate(parts)[:n] if parts else \
+            np.zeros(0, np.uint16)
+
+    def _codec_fetch_decode(self, denses, fut_rows, fut_wtab, shape,
+                            spec=None, spec_q=None):
         """Runs on an _ex worker: prefix-fetch both dense buffers
         (chunk sets submitted together so the transfers interleave on
         the link), then decode every frame concurrently on the codec
@@ -222,22 +258,24 @@ class _RgbCodecMixin:
         of the no-flow chain's wall time (scripts/probe_chain.py)."""
         from ld_decode_tpu.tbc import fused as FU
         from ld_decode_tpu.tbc import native_codec as NC
-        from ld_decode_tpu.tbc.pipeline import grid_fetch_chunks
         E, rows0, W, out8 = shape
         hpass = not out8              # must mirror _codec_dispatch
         rows2 = fut_rows.result().astype(np.int64)
-        with _FALLBACK_LOCK:          # summed across 12 decode workers
+        total = int(rows2[0].sum())
+        totq = int(rows2[1].sum())
+        with _FALLBACK_LOCK:          # summed across decode workers
             self.stats['shipped_u16'] = (self.stats.get('shipped_u16', 0)
                                          + int(rows2.sum()))
             self.stats['frames_out'] = (self.stats.get('frames_out', 0)
                                         + E)
-        ex = self._codec_exec()
-        futs_d = grid_fetch_chunks(ex, denses[0], int(rows2[0].sum()))
-        futs_q = grid_fetch_chunks(ex, denses[1], int(rows2[1].sum()))
-        dense = (np.concatenate([f.result() for f in futs_d])
-                 if futs_d else np.zeros(0, np.uint16))
-        dense_q = (np.concatenate([f.result() for f in futs_q])
-                   if futs_q else np.zeros(0, np.uint16))
+            # EMA feeds the next window's speculative prefix (benign
+            # staleness; top-up covers undershoot)
+            self._rows_ema = total if getattr(self, '_rows_ema', None) \
+                is None else 0.5 * self._rows_ema + 0.5 * total
+            self._qw_ema = totq if getattr(self, '_qw_ema', None) \
+                is None else 0.5 * self._qw_ema + 0.5 * totq
+        dense = self._prefix(denses[0], total, spec)
+        dense_q = self._prefix(denses[1], totq, spec_q)
         wtab = fut_wtab.result()
         Wp = -(-W // FU.CODEC_BW) * FU.CODEC_BW
         NB = Wp // FU.CODEC_BW
